@@ -283,24 +283,23 @@ def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
-    cache_len: jax.Array,
+    kv_mask: jax.Array,
     *,
     sm_scale: float | None = None,
 ) -> jax.Array:
     """Single-position attention against a KV cache.
 
-    q: (B, H, 1, D); caches: (B, H, T_max, D); cache_len: (B,) int32 number of
-    valid cache entries. A matvec per head — XLA handles this well; kept as a
-    distinct op so a Pallas paged/decode kernel can slot in behind the same API.
+    q: (B, H, 1, D); caches: (B, H, T_max, D); kv_mask: (B, T_max) nonzero on
+    valid cache slots (left padding stays masked for the whole decode). A
+    matvec per head — XLA handles this well; kept as a distinct op so a Pallas
+    paged/decode kernel can slot in behind the same API.
     """
     head_dim = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
     ) * scale
-    t_max = k_cache.shape[-2]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t_max), 3)
-    mask = pos < cache_len[:, None, None, None]
+    mask = kv_mask[:, None, None, :] != 0
     logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     weights = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v_cache.dtype), v_cache)

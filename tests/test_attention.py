@@ -59,7 +59,8 @@ def test_decode_attention_matches_prefix_attention():
     t_max, valid = 16, 9
     q = _rand(k1, (2, 4, 1, 32))
     k_cache, v_cache = _rand(k2, (2, 4, t_max, 32)), _rand(k3, (2, 4, t_max, 32))
-    out = decode_attention(q, k_cache, v_cache, jnp.full((2,), valid, jnp.int32))
+    kv_mask = (jnp.arange(t_max)[None, :] < valid).astype(jnp.int32).repeat(2, 0)
+    out = decode_attention(q, k_cache, v_cache, kv_mask)
     expected = mha_reference(q, k_cache[:, :, :valid], v_cache[:, :, :valid])
     np.testing.assert_allclose(out, expected, atol=1e-5)
 

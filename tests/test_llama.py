@@ -1,0 +1,113 @@
+"""Llama decoder: prefill/decode consistency, left-padding invariance, greedy decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmor_tpu.config import LlamaConfig
+from mmor_tpu.models.llama import LlamaModel, build_cache, greedy_decode
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = LlamaConfig.tiny()
+    model = LlamaModel(cfg)
+    ids = jnp.ones((2, 8), dtype=jnp.int32)
+    mask = jnp.ones((2, 8), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids, attention_mask=mask)
+    return cfg, model, params
+
+
+def test_prefill_shapes(tiny_model):
+    cfg, model, params = tiny_model
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    logits, (k, v) = model.apply(params, input_ids=ids, attention_mask=mask)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert k.shape == (cfg.n_layers, 2, cfg.n_kv_heads, 16, cfg.head_dim)
+
+
+def test_decode_matches_prefill(tiny_model):
+    cfg, model, params = tiny_model
+    total, prefix = 12, 8
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, total), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+
+    full_logits, _ = model.apply(params, input_ids=ids, attention_mask=mask)
+
+    pre_logits, kv = model.apply(
+        params, input_ids=ids[:, :prefix], attention_mask=mask[:, :prefix]
+    )
+    cache = build_cache(cfg, kv, mask[:, :prefix], max_len=32)
+    np.testing.assert_allclose(pre_logits, full_logits[:, :prefix], atol=1e-4)
+
+    for t in range(prefix, total):
+        step_logits, cache = model.apply(
+            params,
+            input_ids=ids[:, t : t + 1],
+            attention_mask=jnp.ones((2, 1), jnp.int32),
+            positions=cache["tok_pos"][:, None],
+            cache=cache,
+        )
+        np.testing.assert_allclose(
+            step_logits[:, 0], full_logits[:, t], atol=1e-4,
+            err_msg=f"decode step {t} diverges from teacher forcing",
+        )
+
+
+def test_left_padding_invariance(tiny_model):
+    cfg, model, params = tiny_model
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 6), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    logits, _ = model.apply(params, input_ids=ids, attention_mask=mask)
+
+    pad = 4
+    padded_ids = jnp.concatenate([jnp.zeros((1, pad), jnp.int32), ids], axis=1)
+    padded_mask = jnp.concatenate([jnp.zeros((1, pad), jnp.int32), mask], axis=1)
+    padded_logits, _ = model.apply(
+        params, input_ids=padded_ids, attention_mask=padded_mask
+    )
+    np.testing.assert_allclose(padded_logits[:, pad:], logits, atol=1e-4)
+
+
+def test_greedy_decode_runs_and_stops(tiny_model):
+    cfg, model, params = tiny_model
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    logits, kv = model.apply(params, input_ids=ids, attention_mask=mask)
+    cache = build_cache(cfg, kv, mask, max_len=32)
+    tokens = greedy_decode(
+        model, params, logits, cache, max_new_tokens=6, eos_token_id=2
+    )
+    assert tokens.shape == (2, 6)
+    assert tokens.dtype == jnp.int32
+    # deterministic
+    cache2 = build_cache(cfg, kv, mask, max_len=32)
+    tokens2 = greedy_decode(
+        model, params, logits, cache2, max_new_tokens=6, eos_token_id=2
+    )
+    np.testing.assert_array_equal(tokens, tokens2)
+
+
+def test_greedy_decode_matches_unrolled_argmax(tiny_model):
+    cfg, model, params = tiny_model
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 5), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    logits, kv = model.apply(params, input_ids=ids, attention_mask=mask)
+    cache = build_cache(cfg, kv, mask, max_len=16)
+    n_new = 4
+    tokens = greedy_decode(
+        model, params, logits, cache, max_new_tokens=n_new, eos_token_id=-1
+    )
+    # Oracle: extend the sequence token by token through full prefill.
+    seq = ids
+    expected = []
+    for _ in range(n_new):
+        full, _ = model.apply(
+            params, input_ids=seq, attention_mask=jnp.ones_like(seq)
+        )
+        nxt = jnp.argmax(full[:, -1], axis=-1).astype(jnp.int32)
+        expected.append(int(nxt[0]))
+        seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(tokens[0]), np.asarray(expected))
