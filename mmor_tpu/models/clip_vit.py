@@ -1,0 +1,93 @@
+"""CLIP ViT vision tower (openai/clip-vit-large-patch14-336 geometry).
+
+TPU-native equivalent of the reference's HF ``CLIPVisionTower``
+(`LLaVA/llava/model/multimodal_encoder/clip_encoder.py:40-51`): the feature is
+hidden layer -2 (i.e. the output of the first ``n_layers - 1`` blocks, no
+final layernorm), CLS dropped, yielding 576 patch tokens of width 1024 per
+336x336 image. All views of a batch are encoded in one fused call
+(batch*views collapsed into the leading dim) to keep the MXU busy —
+the reference concatenates views the same way (`llava_arch.py:172-183`).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmor_tpu.config import ClipVitConfig
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class ClipEncoderLayer(nn.Module):
+    cfg: ClipVitConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
+        )
+        h = ln("ln1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.n_heads,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="attn",
+        )(h, h)
+        x = x + h
+        h = ln("ln2")(x)
+        h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(cfg.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
+        return x + h, None
+
+
+class ClipVisionTower(nn.Module):
+    """Maps (N, H, W, 3) preprocessed images to (N, tokens, dim) patch features."""
+
+    cfg: ClipVitConfig
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        n = pixels.shape[0]
+        patches = nn.Conv(
+            cfg.dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            use_bias=False,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="patch_embed",
+        )(pixels.astype(cfg.dtype))
+        patches = patches.reshape(n, -1, cfg.dim)  # (N, 576, D)
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.dim), cfg.param_dtype
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, cfg.dim)).astype(cfg.dtype), patches], axis=1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, cfg.tokens_per_image + 1, cfg.dim),
+            cfg.param_dtype,
+        )
+        x = x + pos.astype(cfg.dtype)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="pre_ln"
+        )(x)
+
+        # feature layer -2: run all but the last block
+        n_run = cfg.n_layers + cfg.feature_layer_offset + 1
+        blocks = nn.scan(
+            ClipEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            out_axes=0,
+            length=n_run,
+        )(cfg, name="blocks")
+        x, _ = blocks(x)
+        return x[:, 1:, :]  # drop CLS -> patch tokens only

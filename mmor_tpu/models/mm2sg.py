@@ -1,0 +1,210 @@
+"""MM2SG: multimodal scene-graph generator (LLaVA-style) assembled TPU-first.
+
+Equivalent surface to the reference ``LlavaLlamaForCausalLM`` +
+``LlavaMetaForCausalLM.prepare_inputs_labels_for_multimodal``
+(`LLaVA/llava/model/llava_arch.py:172-353`, `language_model/llava_llama.py`),
+redesigned for XLA:
+
+- all views are CLIP-encoded in one fused (B*V) call;
+- the BERT pooler fuses views and appends pc/audio/segmask tokens — the
+  multimodal block has a *static* token count (``cfg.num_multimodal_tokens``);
+- the reference's dynamic embedding splice becomes a fixed-shape gather: each
+  prompt carries exactly one ``IMAGE_TOKEN_INDEX`` sentinel and the output
+  length is ``T + M - 1`` for every sample (left-padding keeps decode uniform).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmor_tpu.config import MM2SGConfig
+from mmor_tpu.models.clip_vit import ClipVisionTower
+from mmor_tpu.models.llama import LlamaModel, build_cache, greedy_decode
+from mmor_tpu.models.pooler import ImagePooler, MMProjector, SegmaskEncoder
+from mmor_tpu.sg.prompts import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+
+def splice_multimodal(
+    token_embeds: jax.Array,  # (B, T, D) embeddings of ids (sentinel slot arbitrary)
+    sentinel_pos: jax.Array,  # (B,) int32 index of IMAGE_TOKEN_INDEX per row
+    mm_embeds: jax.Array,  # (B, M, D)
+    attention_mask: jax.Array,  # (B, T)
+    labels: jax.Array | None = None,  # (B, T) or None
+):
+    """Replace the sentinel token with the M multimodal embeddings.
+
+    Static-shape equivalent of `llava_arch.py:241-353`: output length is
+    always T + M - 1. Returns (embeds, mask, positions_map, labels).
+    """
+    batch, t, dim = token_embeds.shape
+    m = mm_embeds.shape[1]
+    t_out = t + m - 1
+    j = jnp.arange(t_out)[None, :]  # (1, T_out)
+    pos = sentinel_pos[:, None]  # (B, 1)
+    is_mm = (j >= pos) & (j < pos + m)
+    tok_idx = jnp.where(j < pos, j, jnp.maximum(j - m + 1, 0))  # (B, T_out)
+    mm_idx = jnp.clip(j - pos, 0, m - 1)
+
+    gathered_tok = jnp.take_along_axis(token_embeds, tok_idx[..., None], axis=1)
+    gathered_mm = jnp.take_along_axis(mm_embeds, mm_idx[..., None], axis=1)
+    embeds = jnp.where(is_mm[..., None], gathered_mm, gathered_tok)
+
+    gathered_mask = jnp.take_along_axis(attention_mask, tok_idx, axis=1)
+    mask = jnp.where(is_mm, 1, gathered_mask).astype(attention_mask.dtype)
+
+    out_labels = None
+    if labels is not None:
+        gathered_labels = jnp.take_along_axis(labels, tok_idx, axis=1)
+        out_labels = jnp.where(is_mm, IGNORE_INDEX, gathered_labels)
+    return embeds, mask, out_labels
+
+
+def find_sentinel(input_ids: jax.Array) -> jax.Array:
+    """Index of the (single) IMAGE_TOKEN_INDEX sentinel per row."""
+    return jnp.argmax((input_ids == IMAGE_TOKEN_INDEX).astype(jnp.int32), axis=1)
+
+
+class MM2SG(nn.Module):
+    cfg: MM2SGConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.vision_tower = ClipVisionTower(cfg.vision, name="vision_tower")
+        self.image_pooler = ImagePooler(cfg.pooler, name="image_pooler")
+        self.segmask_encoder = SegmaskEncoder(
+            num_classes=cfg.segmask.num_classes,
+            embed_dim=cfg.segmask.embed_dim,
+            out_dim=cfg.segmask.out_dim,
+            dtype=cfg.segmask.dtype,
+            param_dtype=cfg.segmask.param_dtype,
+            name="segmask_encoder",
+        )
+        self.mm_projector = MMProjector(
+            cfg.llama.dim, dtype=cfg.llama.dtype, param_dtype=cfg.llama.param_dtype,
+            name="mm_projector",
+        )
+        self.language_model = LlamaModel(cfg.llama, name="language_model")
+
+    def encode_multimodal(
+        self,
+        images: jax.Array,  # (B, V, H, W, 3) CLIP-preprocessed pixels
+        view_mask: jax.Array,  # (B, V) 1 for present views
+        pc_feature: jax.Array | None = None,  # (B, pc_feature_dim) pooled PTv3 feature
+        audio_embedding: jax.Array | None = None,  # (B, audio_dim)
+        segmasks: jax.Array | None = None,  # (B, n_seg, 32, 32) int class ids
+    ) -> jax.Array:
+        """Images + extra modalities -> (B, M, lm_dim) projected multimodal tokens."""
+        cfg = self.cfg
+        batch, views = images.shape[:2]
+        flat = images.reshape((batch * views,) + images.shape[2:])
+        tokens = self.vision_tower(flat)  # (B*V, P, vis_dim)
+        per_view = tokens.shape[1]
+        tokens = tokens.reshape(batch, views * per_view, -1)
+        token_mask = jnp.repeat(view_mask, per_view, axis=1)
+
+        seg_features = None
+        if segmasks is not None:
+            n_seg = segmasks.shape[1]
+            seg_flat = segmasks.reshape((batch * n_seg,) + segmasks.shape[2:])
+            seg_features = self.segmask_encoder(seg_flat).reshape(batch, n_seg, -1)
+
+        fused = self.image_pooler(
+            tokens,
+            token_mask,
+            pc_feature=pc_feature,
+            audio_embedding=audio_embedding,
+            segmask_features=seg_features,
+        )
+        return self.mm_projector(fused)
+
+    def __call__(
+        self,
+        input_ids: jax.Array,  # (B, T) with exactly one IMAGE_TOKEN_INDEX each
+        attention_mask: jax.Array,  # (B, T)
+        images: jax.Array,
+        view_mask: jax.Array,
+        pc_feature: jax.Array | None = None,
+        audio_embedding: jax.Array | None = None,
+        segmasks: jax.Array | None = None,
+        labels: jax.Array | None = None,
+        return_cache: bool = False,
+    ):
+        """Prefill / training forward. Returns (logits, spliced_labels, aux).
+
+        ``aux`` carries the expanded attention mask and (optionally) the KV
+        stack for cache construction.
+        """
+        mm = self.encode_multimodal(
+            images, view_mask, pc_feature, audio_embedding, segmasks
+        )
+        sentinel = find_sentinel(input_ids)
+        safe_ids = jnp.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
+        token_embeds = self.language_model.embed_tokens(safe_ids)
+        embeds, mask, out_labels = splice_multimodal(
+            token_embeds, sentinel, mm, attention_mask, labels
+        )
+        logits, kv = self.language_model(
+            input_embeds=embeds, attention_mask=mask
+        )
+        aux = {"attention_mask": mask}
+        if return_cache:
+            aux["kv"] = kv
+        return logits, out_labels, aux
+
+    def embed_step_tokens(self, ids: jax.Array) -> jax.Array:
+        return self.language_model.embed_tokens(ids)
+
+    def decode_step(self, embeds, positions, cache):
+        return self.language_model(
+            input_embeds=embeds,
+            attention_mask=jnp.ones(embeds.shape[:2], jnp.int32),
+            positions=positions,
+            cache=cache,
+        )
+
+
+def generate(
+    model: MM2SG,
+    params: Any,
+    batch: dict[str, jax.Array],
+    *,
+    max_cache_len: int,
+    max_new_tokens: int,
+    eos_token_id: int,
+) -> jax.Array:
+    """Greedy generation: prefill with multimodal splice, then KV-cached decode.
+
+    ``batch`` holds input_ids/attention_mask/images/view_mask and optional
+    pc_feature/audio_embedding/segmasks. Jit-able end to end; returns
+    (B, max_new_tokens) int32 token ids.
+    """
+    logits, _, aux = model.apply(
+        params,
+        batch["input_ids"],
+        batch["attention_mask"],
+        batch["images"],
+        batch["view_mask"],
+        pc_feature=batch.get("pc_feature"),
+        audio_embedding=batch.get("audio_embedding"),
+        segmasks=batch.get("segmasks"),
+        return_cache=True,
+    )
+    cache = build_cache(
+        model.cfg.llama, aux["kv"], aux["attention_mask"], max_cache_len
+    )
+
+    lm = LlamaModel(model.cfg.llama)
+    lm_params = {"params": params["params"]["language_model"]}
+
+    return greedy_decode(
+        lm,
+        lm_params,
+        logits,
+        cache,
+        max_new_tokens,
+        eos_token_id=eos_token_id,
+    )
