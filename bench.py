@@ -1,0 +1,86 @@
+"""Headline benchmark: MM2SG end-to-end inference frames/sec/chip.
+
+Runs the flagship-geometry MM2SG (LLaVA-7B-class decoder + CLIP ViT-L/14-336
++ pooler) end to end — 7 camera views -> CLIP -> pooler (+pc/audio/segmask
+tokens) -> projector -> multimodal splice -> prefill -> greedy KV-cached
+decode — on synthetic inputs, and prints ONE JSON line.
+
+``vs_baseline`` is the ratio against the reference setup's estimated A100
+throughput (batch 8, greedy, max_new_tokens 300, LLaVA-v1.5-7B ~= 35 tok/s
+per sequence => ~0.93 frames/s; the repo publishes no numbers — BASELINE.md).
+
+Env overrides: MMOR_TPU_BENCH_PRESET (7b|small|tiny), MMOR_TPU_BENCH_BATCH,
+MMOR_TPU_BENCH_NEW_TOKENS, MMOR_TPU_BENCH_PROMPT.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from mmor_tpu.models.mm2sg import MM2SG, generate
+from __graft_entry__ import _example_batch, _preset
+
+A100_REFERENCE_FPS = 0.93  # estimated reference throughput (see module docstring)
+
+
+def main():
+    preset = os.environ.get("MMOR_TPU_BENCH_PRESET", "7b")
+    batch_size = int(os.environ.get("MMOR_TPU_BENCH_BATCH", "1"))
+    new_tokens = int(os.environ.get("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
+    prompt_len = int(os.environ.get("MMOR_TPU_BENCH_PROMPT", "128"))
+
+    cfg = _preset(preset)
+    model = MM2SG(cfg)
+    batch = _example_batch(cfg, batch=batch_size, prompt_len=prompt_len,
+                           key=jax.random.PRNGKey(0))
+
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(1), batch["input_ids"], batch["attention_mask"],
+            batch["images"], batch["view_mask"], pc_feature=batch["pc_feature"],
+            audio_embedding=batch["audio_embedding"], segmasks=batch["segmasks"],
+        )
+    )
+    # zero-filled params: benchmark timing is shape-bound, not value-bound
+    params = jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    )()
+
+    cache_len = prompt_len + cfg.num_multimodal_tokens - 1 + new_tokens
+    cache_len = -(-cache_len // 128) * 128  # round up for tiling
+
+    run = jax.jit(
+        lambda p, b: generate(
+            model, p, b, max_cache_len=cache_len,
+            max_new_tokens=new_tokens, eos_token_id=-1,
+        )
+    )
+    import numpy as np
+
+    # force a device->host transfer for sync: block_until_ready is unreliable
+    # through the experimental axon tunnel
+    np.asarray(run(params, batch))  # compile + warmup
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(run(params, batch))
+    elapsed = time.perf_counter() - t0
+
+    fps = batch_size * iters / elapsed
+    print(json.dumps({
+        "metric": f"mm2sg_{preset}_e2e_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / A100_REFERENCE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

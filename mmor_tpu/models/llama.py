@@ -150,6 +150,7 @@ class LlamaModel(nn.Module):
         attention_mask: jax.Array,
         positions: jax.Array | None = None,
         cache: KVCache | None = None,
+        last_logit_only: bool = False,
     ):
         cfg = self.cfg
         if input_embeds is None:
@@ -190,6 +191,8 @@ class LlamaModel(nn.Module):
                 tok_pos=cache["tok_pos"] + seq,
             )
 
+        if last_logit_only:
+            x = x[:, -1:]
         x = self.final_norm(x)
         logits = self.lm_head(x)
         return logits.astype(jnp.float32), new_cache

@@ -132,6 +132,7 @@ class MM2SG(nn.Module):
         segmasks: jax.Array | None = None,
         labels: jax.Array | None = None,
         return_cache: bool = False,
+        last_logit_only: bool = False,
     ):
         """Prefill / training forward. Returns (logits, spliced_labels, aux).
 
@@ -148,7 +149,7 @@ class MM2SG(nn.Module):
             token_embeds, sentinel, mm, attention_mask, labels
         )
         logits, kv = self.language_model(
-            input_embeds=embeds, attention_mask=mask
+            input_embeds=embeds, attention_mask=mask, last_logit_only=last_logit_only
         )
         aux = {"attention_mask": mask}
         if return_cache:
@@ -192,6 +193,7 @@ def generate(
         audio_embedding=batch.get("audio_embedding"),
         segmasks=batch.get("segmasks"),
         return_cache=True,
+        last_logit_only=True,  # prefill only needs the next-token logits
     )
     cache = build_cache(
         model.cfg.llama, aux["kv"], aux["attention_mask"], max_cache_len

