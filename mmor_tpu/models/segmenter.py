@@ -1,0 +1,82 @@
+"""Frame segmenter: ResNet-50 + MSDeformAttn pixel decoder + masked-attn decoder.
+
+Equivalent of the reference's ``MaskFormer`` image model / the per-frame
+segmenter inside MinVIS/CTVIS/DVIS (`mask2former/maskformer_model.py`,
+`dvis_Plus/meta_architecture.py:26-405`). Frames of a clip are batched as
+(B*T) through the backbone and pixel decoder; queries are per-clip in the
+video decoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmor_tpu.models.mask2former_decoder import (
+    MaskDecoderConfig,
+    VideoMaskedTransformerDecoder,
+)
+from mmor_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+from mmor_tpu.models.resnet import ResNet50
+
+# ImageNet statistics used by detectron2's preprocessing
+# (cfg.MODEL.PIXEL_MEAN/STD; meta_architecture.py normalizer)
+PIXEL_MEAN = (123.675, 116.28, 103.53)
+PIXEL_STD = (58.395, 57.12, 57.375)
+
+
+@dataclass(frozen=True)
+class SegmenterConfig:
+    decoder: MaskDecoderConfig = field(default_factory=MaskDecoderConfig)
+    conv_dim: int = 256
+    mask_dim: int = 256
+    pixel_decoder_layers: int = 6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def tiny(cls, **kw):
+        base = dict(
+            decoder=MaskDecoderConfig.tiny(),
+            conv_dim=32, mask_dim=32, pixel_decoder_layers=2,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+def normalize_pixels(images: jax.Array) -> jax.Array:
+    """(…, H, W, 3) uint8/float RGB -> detectron2-normalized float."""
+    mean = jnp.asarray(PIXEL_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(PIXEL_STD, dtype=jnp.float32)
+    return (images.astype(jnp.float32) - mean) / std
+
+
+class VideoSegmenter(nn.Module):
+    cfg: SegmenterConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.backbone = ResNet50(cfg.dtype, cfg.param_dtype, name="backbone")
+        self.pixel_decoder = MSDeformAttnPixelDecoder(
+            conv_dim=cfg.conv_dim,
+            mask_dim=cfg.mask_dim,
+            n_layers=cfg.pixel_decoder_layers,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="pixel_decoder",
+        )
+        self.decoder = VideoMaskedTransformerDecoder(cfg.decoder, name="decoder")
+
+    def __call__(self, images: jax.Array, num_frames: int = 1):
+        """images: (B*T, H, W, 3) normalized pixels. Returns decoder outputs:
+        pred_logits (B, Q, K+1), pred_masks (B, Q, T, H/4, W/4), pred_embds,
+        aux_outputs."""
+        feats = self.backbone(images)
+        mask_features, multi_scale = self.pixel_decoder(feats)
+        bt, h4, w4, c = mask_features.shape
+        b = bt // num_frames
+        mask_features = mask_features.reshape(b, num_frames, h4, w4, c)
+        return self.decoder(multi_scale, mask_features, num_frames)

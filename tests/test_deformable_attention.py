@@ -1,0 +1,72 @@
+"""Deformable attention vs the reference's pure-PyTorch oracle semantics.
+
+The oracle below re-states `ms_deform_attn_core_pytorch`
+(`ops/functions/ms_deform_attn_func.py:53-72`) using torch (CPU), exactly as
+the reference's own op test does (`ops/test.py:31-55`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmor_tpu.ops.deformable_attention import ms_deform_attn
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def oracle(value, spatial_shapes, sampling_locations, attention_weights):
+    value = torch.from_numpy(value)
+    sampling_locations = torch.from_numpy(sampling_locations)
+    attention_weights = torch.from_numpy(attention_weights)
+    n, s, m, d = value.shape
+    _, lq, _, levels, points, _ = sampling_locations.shape
+    value_list = value.split([h * w for h, w in spatial_shapes], dim=1)
+    grids = 2 * sampling_locations - 1
+    samples = []
+    for lid, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lid].flatten(2).transpose(1, 2).reshape(n * m, d, h, w)
+        g = grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)
+        samples.append(
+            F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        )
+    attn = attention_weights.transpose(1, 2).reshape(n * m, 1, lq, levels * points)
+    out = (torch.stack(samples, dim=-2).flatten(-2) * attn).sum(-1).view(n, m * d, lq)
+    return out.transpose(1, 2).contiguous().numpy()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_grid_sample_oracle(seed):
+    rng = np.random.default_rng(seed)
+    shapes = ((6, 4), (3, 2))
+    n, m, d, lq, points = 2, 4, 8, 5, 3
+    s = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((n, s, m, d), dtype=np.float32)
+    loc = rng.uniform(-0.2, 1.2, (n, lq, m, len(shapes), points, 2)).astype(np.float32)
+    attn = rng.uniform(0, 1, (n, lq, m, len(shapes), points)).astype(np.float32)
+    attn /= attn.reshape(n, lq, m, -1).sum(-1)[..., None, None]
+
+    got = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    want = oracle(value, shapes, loc, attn)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gradients_flow():
+    shapes = ((4, 4),)
+    n, m, d, lq, points = 1, 2, 4, 3, 2
+    s = 16
+    key = jax.random.PRNGKey(0)
+    value = jax.random.normal(key, (n, s, m, d))
+    loc = jax.random.uniform(jax.random.PRNGKey(1), (n, lq, m, 1, points, 2))
+    attn = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(2), (n, lq, m, 1, points)), axis=-1
+    )
+
+    def loss(value, loc, attn):
+        return jnp.sum(ms_deform_attn(value, shapes, loc, attn) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
