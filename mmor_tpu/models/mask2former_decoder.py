@@ -71,37 +71,44 @@ def _attention(q, k, v, bias, n_heads, dtype):
 
 class AttentionBlock(nn.Module):
     """Attention + residual + post-LN, matching the reference's
-    (Self|Cross)AttentionLayer with pre_norm=False: position embeddings are
-    added to q/k only, and the residual is the positionless input ``x``."""
+    (Self|Cross|ReferringCross)AttentionLayer with pre_norm=False: position
+    embeddings are added to q/k only, and the residual is the (possibly
+    distinct) input ``x`` — for the DVIS ReferringCrossAttentionLayer, ``x``
+    is the identity path while ``q_input`` is the reference
+    (`dvis_Plus/tracker.py:10-95`)."""
 
-    cfg: MaskDecoderConfig
+    dim: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, q_input, k_input, v_input, bias=None):
-        cfg = self.cfg
-        dense = lambda name: nn.Dense(cfg.hidden_dim, dtype=cfg.dtype,
-                                      param_dtype=cfg.param_dtype, name=name)
+        dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
         q = dense("q_proj")(q_input)
         k = dense("k_proj")(k_input)
         v = dense("v_proj")(v_input)
-        attn = _attention(q, k, v, bias, cfg.n_heads, cfg.dtype)
+        attn = _attention(q, k, v, bias, self.n_heads, self.dtype)
         attn = dense("out_proj")(attn)
-        return nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        return nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                             name="norm")(x + attn)
 
 
 class FFNBlock(nn.Module):
-    cfg: MaskDecoderConfig
+    dim: int
+    ffn_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        cfg = self.cfg
-        h = nn.Dense(cfg.dim_feedforward, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype, name="fc1")(x)
+        h = nn.Dense(self.ffn_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1")(x)
         h = nn.relu(h)
-        h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype, name="fc2")(h)
-        return nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        h = nn.Dense(self.dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc2")(h)
+        return nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                             name="norm")(x + h)
 
 
@@ -128,12 +135,20 @@ class VideoMaskedTransformerDecoder(nn.Module):
             for i in range(3)
         ]
         self.cross_attn = [
-            AttentionBlock(cfg, name=f"cross_attn_{i}") for i in range(cfg.dec_layers)
+            AttentionBlock(cfg.hidden_dim, cfg.n_heads, cfg.dtype, cfg.param_dtype,
+                           name=f"cross_attn_{i}")
+            for i in range(cfg.dec_layers)
         ]
         self.self_attn = [
-            AttentionBlock(cfg, name=f"self_attn_{i}") for i in range(cfg.dec_layers)
+            AttentionBlock(cfg.hidden_dim, cfg.n_heads, cfg.dtype, cfg.param_dtype,
+                           name=f"self_attn_{i}")
+            for i in range(cfg.dec_layers)
         ]
-        self.ffn = [FFNBlock(cfg, name=f"ffn_{i}") for i in range(cfg.dec_layers)]
+        self.ffn = [
+            FFNBlock(cfg.hidden_dim, cfg.dim_feedforward, cfg.dtype, cfg.param_dtype,
+                     name=f"ffn_{i}")
+            for i in range(cfg.dec_layers)
+        ]
         self.decoder_norm = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                                          name="decoder_norm")
         self.class_embed = nn.Dense(cfg.num_classes + 1, dtype=cfg.dtype,

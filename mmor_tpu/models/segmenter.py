@@ -79,4 +79,6 @@ class VideoSegmenter(nn.Module):
         bt, h4, w4, c = mask_features.shape
         b = bt // num_frames
         mask_features = mask_features.reshape(b, num_frames, h4, w4, c)
-        return self.decoder(multi_scale, mask_features, num_frames)
+        out = self.decoder(multi_scale, mask_features, num_frames)
+        out["mask_features"] = mask_features  # (B, T, H/4, W/4, C)
+        return out
