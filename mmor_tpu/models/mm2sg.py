@@ -25,6 +25,7 @@ from mmor_tpu.config import MM2SGConfig
 from mmor_tpu.models.clip_vit import ClipVisionTower
 from mmor_tpu.models.llama import LlamaModel, build_cache, greedy_decode
 from mmor_tpu.models.pooler import ImagePooler, MMProjector, SegmaskEncoder
+from mmor_tpu.models.ptv3 import PointTransformerV3
 from mmor_tpu.sg.prompts import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 
 
@@ -88,6 +89,24 @@ class MM2SG(nn.Module):
             name="mm_projector",
         )
         self.language_model = LlamaModel(cfg.llama, name="language_model")
+        # PTv3 params materialize on first call with raw clouds; the pooler
+        # also accepts precomputed (B, pc_feature_dim) features directly.
+        self.point_encoder = nn.vmap(
+            PointTransformerV3,
+            in_axes=(0, 0),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(cfg.ptv3, name="point_encoder")
+
+    def encode_pc(self, pc_points: jax.Array, pc_valid: jax.Array) -> jax.Array:
+        """(B, P, 6) padded clouds -> (B, pc_feature_dim) pooled features.
+
+        Missing clouds (all-invalid rows) produce zero features, matching the
+        reference's zero fallback (builder.py:99-148)."""
+        feats = self.point_encoder(pc_points, pc_valid)
+        has_points = jnp.any(pc_valid, axis=1)
+        return jnp.where(has_points[:, None], feats, 0.0)
 
     def encode_multimodal(
         self,
@@ -96,9 +115,13 @@ class MM2SG(nn.Module):
         pc_feature: jax.Array | None = None,  # (B, pc_feature_dim) pooled PTv3 feature
         audio_embedding: jax.Array | None = None,  # (B, audio_dim)
         segmasks: jax.Array | None = None,  # (B, n_seg, 32, 32) int class ids
+        pc_points: jax.Array | None = None,  # (B, P, 6) raw padded clouds
+        pc_valid: jax.Array | None = None,  # (B, P)
     ) -> jax.Array:
         """Images + extra modalities -> (B, M, lm_dim) projected multimodal tokens."""
         cfg = self.cfg
+        if pc_points is not None:
+            pc_feature = self.encode_pc(pc_points, pc_valid)
         batch, views = images.shape[:2]
         flat = images.reshape((batch * views,) + images.shape[2:])
         tokens = self.vision_tower(flat)  # (B*V, P, vis_dim)
@@ -130,6 +153,8 @@ class MM2SG(nn.Module):
         pc_feature: jax.Array | None = None,
         audio_embedding: jax.Array | None = None,
         segmasks: jax.Array | None = None,
+        pc_points: jax.Array | None = None,
+        pc_valid: jax.Array | None = None,
         labels: jax.Array | None = None,
         return_cache: bool = False,
         last_logit_only: bool = False,
@@ -140,7 +165,8 @@ class MM2SG(nn.Module):
         stack for cache construction.
         """
         mm = self.encode_multimodal(
-            images, view_mask, pc_feature, audio_embedding, segmasks
+            images, view_mask, pc_feature, audio_embedding, segmasks,
+            pc_points=pc_points, pc_valid=pc_valid,
         )
         sentinel = find_sentinel(input_ids)
         safe_ids = jnp.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)

@@ -135,3 +135,20 @@ def test_modalities_change_output(tiny):
         batch["view_mask"], pc_feature=batch["pc_feature"] * 2.0,
     )
     assert float(jnp.max(jnp.abs(logits1 - logits2))) > 1e-6
+
+
+def test_raw_pointcloud_path(tiny):
+    cfg, model, params, batch = tiny
+    p = cfg.ptv3.max_points
+    pts = jax.random.uniform(jax.random.PRNGKey(9), (2, p, 6))
+    pc_valid = jnp.ones((2, p), bool).at[1, :].set(False)  # sample 1: no cloud
+    params2 = model.init(
+        jax.random.PRNGKey(10),
+        batch["input_ids"], batch["attention_mask"], batch["images"],
+        batch["view_mask"], pc_points=pts, pc_valid=pc_valid,
+    )
+    logits, _, _ = model.apply(
+        params2, batch["input_ids"], batch["attention_mask"], batch["images"],
+        batch["view_mask"], pc_points=pts, pc_valid=pc_valid,
+    )
+    assert bool(jnp.all(jnp.isfinite(logits)))
