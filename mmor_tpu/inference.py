@@ -1,0 +1,285 @@
+"""MM2SG inference engine: ORDataset items -> prompts -> batched generate -> F1.
+
+Equivalent of the reference ``ModelWrapper``
+(`scene_graph_helpers/model/scene_graph_prediction_model.py:25-399`):
+
+- image slot logic: 4D-OR uses azure cams (2,1,3,5); MM-OR prefers 5 azure
+  cams (1,4,5,2,3), falls back to simstation (2,0,3), then black frames; plus
+  the robot screen (simstation cam 1) and the trackercam (`forward:78-114`);
+- robot / tracker / transcript metadata injected as text; optional temporal
+  memory from the take's own predictions (temporality == 'PRED');
+- prompts are tokenized with the image sentinel, left-padded to a static
+  bucket, and decoded greedily with the jitted KV-cache path;
+- outputs parse into triplets and accumulate into the SceneGraphEvaluator.
+
+The tokenizer is pluggable (any HF-style tokenizer with encode/decode); a
+dependency-free ByteTokenizer serves tests and smoke runs.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmor_tpu.config import MM2SGConfig
+from mmor_tpu.data import preprocessing as pp
+from mmor_tpu.data.configurations import TRACKER_OBJECT_MAP
+from mmor_tpu.eval.sg_eval import SceneGraphEvaluator
+from mmor_tpu.models.mm2sg import MM2SG, generate
+from mmor_tpu.sg.converters import sg_history_to_change_log, change_log_to_memory_str
+from mmor_tpu.sg.prompts import (
+    IMAGE_TOKEN_INDEX,
+    build_sg_prompt,
+    format_robot_metadata,
+    format_tracker_metadata,
+    left_pad_batch,
+    tokenize_with_image_token,
+)
+
+
+class ByteTokenizer:
+    """UTF-8 byte fallback tokenizer: ids = byte + 3; 0/1/2 = pad/bos/eos."""
+
+    pad_token_id = 0
+    bos_token_id = 1
+    eos_token_id = 2
+    vocab_size = 259
+
+    def encode(self, text: str) -> list[int]:
+        return [self.bos_token_id] + [b + 3 for b in text.encode("utf-8")]
+
+    def decode(self, ids) -> str:
+        data = bytes(i - 3 for i in ids if i >= 3)
+        return data.decode("utf-8", errors="replace")
+
+
+@dataclass
+class SceneGraphPredictor:
+    cfg: MM2SGConfig
+    model: MM2SG
+    params: dict
+    tokenizer: object
+    cameras_mmor: tuple[int, ...] = (1, 4, 5, 2, 3)  # configs/mmor.json
+    cameras_4dor: tuple[int, ...] = (2, 1, 3, 5)
+    temporality: str | None = None  # None | 'PRED'
+    prompt_bucket: int = 128
+    take_to_history: dict = field(default_factory=lambda: defaultdict(list))
+
+    def __post_init__(self):
+        def run(params, batch):
+            # shapes are static at trace time; cache sizes per prompt bucket
+            prompt_len = batch["input_ids"].shape[1]
+            need = (prompt_len + self.cfg.num_multimodal_tokens - 1
+                    + self.cfg.max_new_tokens)
+            cache_len = -(-need // 128) * 128
+            return generate(
+                self.model, params, batch,
+                max_cache_len=cache_len,
+                max_new_tokens=self.cfg.max_new_tokens,
+                eos_token_id=self.tokenizer.eos_token_id,
+            )
+
+        self._generate = jax.jit(run)
+
+    # ---------------------------------------------------------------- #
+    # batch assembly
+    # ---------------------------------------------------------------- #
+
+    def _images_for(self, item) -> tuple[np.ndarray, np.ndarray]:
+        """-> ((V, H, W, 3) float32, (V,) int32 view mask)."""
+        cfg = self.cfg
+        size = cfg.vision.image_size
+        md = item["multimodal_data"]
+        sample = item["sample"]
+        slots: list[np.ndarray] = []
+
+        def load(path):
+            from PIL import Image
+
+            try:
+                return pp.clip_preprocess(Image.open(path), size)
+            except OSError:
+                return pp.black_image(size)
+
+        if "4DOR" in sample["take_name"]:
+            azure = md.get("azure", [])
+            for cam in self.cameras_4dor:
+                if cam - 1 < len(azure):
+                    slots.append(load(azure[cam - 1]))
+                else:
+                    slots.append(pp.black_image(size))
+        else:
+            azure = md.get("azure", [])
+            simstation = md.get("simstation", [])
+            if azure:
+                for cam in self.cameras_mmor:
+                    slots.append(
+                        load(azure[cam - 1]) if cam - 1 < len(azure)
+                        else pp.black_image(size)
+                    )
+            elif simstation:
+                for cam in (2, 0, 3):
+                    slots.append(
+                        load(simstation[cam]) if cam < len(simstation)
+                        else pp.black_image(size)
+                    )
+            else:
+                slots.extend(pp.black_image(size) for _ in self.cameras_mmor)
+            if len(simstation) > 1:
+                slots.append(load(simstation[1]))  # robot screen
+            if md.get("trackercam"):
+                slots.append(load(md["trackercam"][0]))
+
+        v = cfg.pooler.max_views
+        slots = slots[:v]
+        mask = np.zeros((v,), np.int32)
+        mask[: len(slots)] = 1
+        while len(slots) < v:
+            slots.append(np.zeros((size, size, 3), np.float32))
+        return np.stack(slots), mask
+
+    def _prompt_for(self, item) -> str:
+        md = item["multimodal_data"]
+        sample = item["sample"]
+        robot = tracker = transcript = memory = None
+        if md.get("robot_metadata"):
+            with open(md["robot_metadata"][0]) as f:
+                robot = format_robot_metadata(json.load(f))
+        if md.get("tracker"):
+            tracker = format_tracker_metadata(
+                md["tracker"][0]["unique_id_dicts"], TRACKER_OBJECT_MAP
+            )
+        if md.get("speech_transcript"):
+            with open(md["speech_transcript"][0]) as f:
+                transcript = json.load(f)["text"]
+        if self.temporality == "PRED":
+            timepoint = int(sample["frame_id"])
+            history = self.take_to_history[sample["take_name"]]
+            log = sg_history_to_change_log(
+                history, irrelevant_preds=["closeto", "closeTo"]
+            )
+            log = [e for e in log if e[0] < timepoint]
+            memory = change_log_to_memory_str(log, timepoint, style="longshort")
+        return build_sg_prompt(
+            robot_metadata_str=robot,
+            tracker_metadata_str=tracker,
+            speech_transcript=transcript,
+            memory_str=memory,
+        )
+
+    def build_batch(self, items) -> dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        images, view_masks, id_lists = [], [], []
+        pcs, pc_valids, audios, has_pc = [], [], [], False
+        for item in items:
+            img, mask = self._images_for(item)
+            images.append(img)
+            view_masks.append(mask)
+            prompt = self._prompt_for(item)
+            id_lists.append(
+                tokenize_with_image_token(prompt, self.tokenizer, IMAGE_TOKEN_INDEX)
+            )
+            md = item["multimodal_data"]
+            if md.get("pc"):
+                pts, valid = pp.pad_pointcloud(
+                    pp.load_pcd(md["pc"][0]), cfg.ptv3.max_points
+                )
+                has_pc = True
+            else:
+                pts = np.zeros((cfg.ptv3.max_points, 6), np.float32)
+                valid = np.zeros((cfg.ptv3.max_points,), bool)
+            pcs.append(pts)
+            pc_valids.append(valid)
+            if md.get("audio"):
+                emb = pp.load_audio_embedding(md["audio"][0])
+                # fit to the configured width (tiny test configs use narrow dims)
+                fitted = np.zeros((cfg.pooler.audio_dim,), np.float32)
+                n = min(len(emb), cfg.pooler.audio_dim)
+                fitted[:n] = emb[:n]
+                audios.append(fitted)
+            else:
+                audios.append(np.zeros((cfg.pooler.audio_dim,), np.float32))
+
+        bucket = self.prompt_bucket
+        longest = max(len(ids) for ids in id_lists)
+        while bucket < longest:
+            bucket *= 2
+        ids, mask = left_pad_batch(id_lists, self.tokenizer.pad_token_id, bucket)
+
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.asarray(mask),
+            "images": jnp.asarray(np.stack(images)),
+            "view_mask": jnp.asarray(np.stack(view_masks)),
+            "audio_embedding": jnp.asarray(np.stack(audios)),
+        }
+        if has_pc:
+            batch["pc_points"] = jnp.asarray(np.stack(pcs))
+            batch["pc_valid"] = jnp.asarray(np.stack(pc_valids))
+        return batch
+
+    # ---------------------------------------------------------------- #
+    # prediction / evaluation
+    # ---------------------------------------------------------------- #
+
+    def predict(self, items) -> list[str]:
+        batch = self.build_batch(items)
+        tokens = np.asarray(self._generate(self.params, batch))
+        eos = self.tokenizer.eos_token_id
+        outputs = []
+        for row in tokens:
+            ids = list(row)
+            if eos in ids:
+                ids = ids[: ids.index(eos)]
+            outputs.append(self.tokenizer.decode(ids).strip())
+        return outputs
+
+    def validate(
+        self, items_iter, batch_size: int = 8, limit_batches: int | None = None
+    ):
+        """Run generation over the dataset and produce the reference's report
+        (per-take / per-datatype / global). Returns (report, raw_predictions)."""
+        evaluator = SceneGraphEvaluator()
+        raw_predictions: dict[str, list] = {}
+        if self.temporality == "PRED":
+            batch_size = 1  # history must be causal (main.py:55-60)
+
+        batch_items: list = []
+        n_batches = 0
+
+        def flush():
+            nonlocal n_batches
+            if not batch_items:
+                return
+            outputs = self.predict(batch_items)
+            for item, text in zip(batch_items, outputs):
+                sample = item["sample"]
+                raw = evaluator.add_sample(
+                    sample["take_name"], text, sample["relationships"]
+                )
+                raw_predictions[sample.get("sample_id", self._sid(sample))] = raw
+                if self.temporality == "PRED":
+                    self.take_to_history[sample["take_name"]].append(
+                        {"timepoint_idx": int(sample["frame_id"]), "scene_graph": raw}
+                    )
+            batch_items.clear()
+            n_batches += 1
+
+        for item in items_iter:
+            batch_items.append(item)
+            if len(batch_items) == batch_size:
+                flush()
+                if limit_batches is not None and n_batches >= limit_batches:
+                    break
+        if limit_batches is None or n_batches < limit_batches:
+            flush()
+        return evaluator.report(), raw_predictions
+
+    @staticmethod
+    def _sid(sample) -> str:
+        return f'{sample["take_name"]}_{sample["frame_id"]}'
