@@ -113,3 +113,99 @@ def make_labels(input_ids, attention_mask, prompt_lengths):
     in_prompt = pos < prompt_lengths[:, None]
     ignore = in_prompt | (attention_mask == 0)
     return jnp.where(ignore, IGNORE_INDEX, input_ids)
+
+
+# --------------------------------------------------------------------- #
+# LoRA fine-tuning (reference QLoRA path, train.py:1159-1175 — bf16 on TPU)
+# --------------------------------------------------------------------- #
+
+from mmor_tpu.train import lora as lora_lib  # noqa: E402
+
+
+def partition_params(params, trainable_patterns: tuple[str, ...]):
+    """Split a param tree into (trainable dict, frozen dict, rebuild fn).
+
+    Mirrors the reference's trainable set: LoRA on the decoder plus fully
+    trained multimodal modules (mm_projector, image_pooler, segmask encoder,
+    PTv3), everything else frozen (train.py:1145-1261). Vision-tower
+    last-N-layer unfreezing maps to including 'vision_tower' here (the
+    scanned-layer param stack trains as a whole; per-layer masks are a
+    finer-grained option).
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    paths = [lora_lib._path_str(p) for p, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+    trainable = {
+        ps: leaf for ps, leaf in zip(paths, leaves)
+        if any(pat in ps for pat in trainable_patterns)
+    }
+    frozen = {
+        ps: leaf for ps, leaf in zip(paths, leaves) if ps not in trainable
+    }
+
+    def rebuild(trainable_now):
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [trainable_now.get(ps, frozen.get(ps)) for ps in paths],
+        )
+
+    return trainable, frozen, rebuild
+
+
+DEFAULT_TRAINABLE = ("mm_projector", "image_pooler", "segmask_encoder", "point_encoder")
+
+
+def make_lora_train_step(
+    model: MM2SG,
+    tx,
+    lora_cfg: "lora_lib.LoraConfig",
+    params,
+    trainable_patterns: tuple[str, ...] = DEFAULT_TRAINABLE,
+    vocab_weights=None,
+):
+    """Build (train_step, initial_state) for LoRA + partial fine-tuning.
+
+    state = {lora, trainable, opt_state, step}; the frozen remainder is
+    closed over (donated once to device). Gradients flow only into the LoRA
+    factors and the trainable subtrees.
+    """
+    trainable, _frozen, rebuild = partition_params(params, trainable_patterns)
+    lora_params = lora_lib.init_lora_params(lora_cfg, params, jax.random.PRNGKey(0))
+
+    state = {
+        "lora": lora_params,
+        "trainable": trainable,
+        "opt_state": tx.init({"lora": lora_params, "trainable": trainable}),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+    def step_fn(state, batch):
+        def loss_fn(opt_tree):
+            full = rebuild(opt_tree["trainable"])
+            eff = lora_lib.apply_lora(lora_cfg, full, opt_tree["lora"])
+            logits, labels, _ = model.apply(
+                eff,
+                batch["input_ids"],
+                batch["attention_mask"],
+                batch["images"],
+                batch["view_mask"],
+                pc_feature=batch.get("pc_feature"),
+                audio_embedding=batch.get("audio_embedding"),
+                segmasks=batch.get("segmasks"),
+                labels=batch["labels"],
+            )
+            return token_weighted_ce(logits, labels, vocab_weights)
+
+        opt_tree = {"lora": state["lora"], "trainable": state["trainable"]}
+        loss, grads = jax.value_and_grad(loss_fn)(opt_tree)
+        updates, opt_state = tx.update(grads, state["opt_state"], opt_tree)
+        new_tree = optax.apply_updates(opt_tree, updates)
+        new_state = {
+            "lora": new_tree["lora"],
+            "trainable": new_tree["trainable"],
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step_fn, state
