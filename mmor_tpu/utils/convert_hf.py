@@ -1,0 +1,169 @@
+"""HF checkpoint conversion: Llama / CLIP-ViT / BERT-pooler -> mmor_tpu params.
+
+The reference builds MM2SG from ``liuhaotian/llava-v1.5-7b`` (Llama-7B +
+CLIP ViT-L/14-336 + BERT pooler, `model/builder.py:26-184`). These converters
+map HF ``state_dict``-style {name: np.ndarray} onto our flax param trees so
+published weights load directly:
+
+- linear weights transpose (HF (out, in) -> flax kernel (in, out));
+- scanned decoder blocks stack per-layer tensors on a leading layer axis;
+- CLIP keeps only the first ``n_layers - 1`` encoder layers (feature layer
+  -2 — the reference never runs the last layer);
+- attention q/k/v reshape into flax ``MultiHeadDotProductAttention`` layout
+  (in, heads, head_dim).
+
+Parity is tested against locally-initialized HF models (tests/test_convert_hf.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mmor_tpu.config import ClipVitConfig, LlamaConfig, PoolerConfig
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w).T
+
+
+def convert_llama(sd: dict, cfg: LlamaConfig) -> dict:
+    """HF LlamaForCausalLM state dict -> LlamaModel params['params']."""
+    get = lambda k: np.asarray(sd[k])
+    stack = lambda fmt: np.stack([get(fmt.format(i)) for i in range(cfg.n_layers)])
+
+    blocks = {
+        "q_proj": {"kernel": stack("model.layers.{}.self_attn.q_proj.weight").transpose(0, 2, 1)},
+        "k_proj": {"kernel": stack("model.layers.{}.self_attn.k_proj.weight").transpose(0, 2, 1)},
+        "v_proj": {"kernel": stack("model.layers.{}.self_attn.v_proj.weight").transpose(0, 2, 1)},
+        "o_proj": {"kernel": stack("model.layers.{}.self_attn.o_proj.weight").transpose(0, 2, 1)},
+        "gate_proj": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight").transpose(0, 2, 1)},
+        "up_proj": {"kernel": stack("model.layers.{}.mlp.up_proj.weight").transpose(0, 2, 1)},
+        "down_proj": {"kernel": stack("model.layers.{}.mlp.down_proj.weight").transpose(0, 2, 1)},
+        "attn_norm": {"scale": stack("model.layers.{}.input_layernorm.weight")},
+        "mlp_norm": {"scale": stack("model.layers.{}.post_attention_layernorm.weight")},
+    }
+    return {
+        "embed_tokens": {"embedding": get("model.embed_tokens.weight")},
+        "blocks": blocks,
+        "final_norm": {"scale": get("model.norm.weight")},
+        "lm_head": {"kernel": _t(get("lm_head.weight"))},
+    }
+
+
+def _mha_params(sd: dict, prefix: str, n_heads: int, dim: int,
+                q="q_proj", k="k_proj", v="v_proj", o="out_proj") -> dict:
+    """HF attention projections -> flax MultiHeadDotProductAttention tree."""
+    head_dim = dim // n_heads
+
+    def qkv(name):
+        w = _t(np.asarray(sd[f"{prefix}.{name}.weight"]))  # (in, out)
+        b = np.asarray(sd[f"{prefix}.{name}.bias"])
+        return {
+            "kernel": w.reshape(dim, n_heads, head_dim),
+            "bias": b.reshape(n_heads, head_dim),
+        }
+
+    out_w = _t(np.asarray(sd[f"{prefix}.{o}.weight"]))  # (in, out)
+    return {
+        "query": qkv(q),
+        "key": qkv(k),
+        "value": qkv(v),
+        "out": {
+            "kernel": out_w.reshape(n_heads, head_dim, dim),
+            "bias": np.asarray(sd[f"{prefix}.{o}.bias"]),
+        },
+    }
+
+
+def convert_clip_vision(sd: dict, cfg: ClipVitConfig) -> dict:
+    """HF CLIPVisionModel state dict -> ClipVisionTower params['params'].
+
+    Accepts names with or without the ``vision_model.`` prefix. Only the
+    first ``n_layers + feature_layer_offset + 1`` layers convert.
+    """
+    if not any(k.startswith("vision_model.") for k in sd):
+        sd = {f"vision_model.{k}": v for k, v in sd.items()}
+    get = lambda k: np.asarray(sd[k])
+    n_run = cfg.n_layers + cfg.feature_layer_offset + 1
+
+    blocks: dict = {}
+    per_layer: dict[str, list] = {}
+    for i in range(n_run):
+        p = f"vision_model.encoder.layers.{i}"
+        layer = {
+            "ln1": {"scale": get(f"{p}.layer_norm1.weight"),
+                    "bias": get(f"{p}.layer_norm1.bias")},
+            "ln2": {"scale": get(f"{p}.layer_norm2.weight"),
+                    "bias": get(f"{p}.layer_norm2.bias")},
+            "attn": _mha_params(sd, f"{p}.self_attn", cfg.n_heads, cfg.dim),
+            "fc1": {"kernel": _t(get(f"{p}.mlp.fc1.weight")),
+                    "bias": get(f"{p}.mlp.fc1.bias")},
+            "fc2": {"kernel": _t(get(f"{p}.mlp.fc2.weight")),
+                    "bias": get(f"{p}.mlp.fc2.bias")},
+        }
+        flat = _flatten(layer)
+        for key, val in flat.items():
+            per_layer.setdefault(key, []).append(val)
+    blocks = _unflatten({k: np.stack(v) for k, v in per_layer.items()})
+
+    patch = get("vision_model.embeddings.patch_embedding.weight")  # (out, 3, P, P)
+    return {
+        "patch_embed": {"kernel": patch.transpose(2, 3, 1, 0)},
+        "cls_token": get("vision_model.embeddings.class_embedding").reshape(1, 1, -1),
+        "pos_embed": get("vision_model.embeddings.position_embedding.weight")[None],
+        "pre_ln": {"scale": get("vision_model.pre_layrnorm.weight"),
+                   "bias": get("vision_model.pre_layrnorm.bias")},
+        "blocks": blocks,
+    }
+
+
+def convert_bert_pooler(sd: dict, cfg: PoolerConfig, prefix: str = "") -> dict:
+    """HF BertModel state dict -> ImagePooler BERT-part params (the pc/audio
+    projection and segmask tokens convert separately from the LLaVA
+    ``image_pooler`` blob: project_pc/project_audio are plain linears)."""
+    get = lambda k: np.asarray(sd[prefix + k])
+    out = {
+        "pos_embed": get("embeddings.position_embeddings.weight")[None][:, : cfg.max_positions],
+        "token_type_embed": get("embeddings.token_type_embeddings.weight")[:1][None],
+        "embed_ln": {"scale": get("embeddings.LayerNorm.weight"),
+                     "bias": get("embeddings.LayerNorm.bias")},
+    }
+    for i in range(cfg.n_layers):
+        p = f"encoder.layer.{i}"
+        out[f"layer_{i}"] = {
+            "attn": _mha_params(
+                sd, f"{prefix}{p}.attention", cfg.n_heads, cfg.hidden,
+                q="self.query", k="self.key", v="self.value", o="output.dense",
+            ),
+            "ln1": {"scale": get(f"{p}.attention.output.LayerNorm.weight"),
+                    "bias": get(f"{p}.attention.output.LayerNorm.bias")},
+            "fc1": {"kernel": _t(get(f"{p}.intermediate.dense.weight")),
+                    "bias": get(f"{p}.intermediate.dense.bias")},
+            "fc2": {"kernel": _t(get(f"{p}.output.dense.weight")),
+                    "bias": get(f"{p}.output.dense.bias")},
+            "ln2": {"scale": get(f"{p}.output.LayerNorm.weight"),
+                    "bias": get(f"{p}.output.LayerNorm.bias")},
+        }
+    return out
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
