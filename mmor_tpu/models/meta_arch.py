@@ -96,11 +96,19 @@ class DVISPlus(nn.Module):
     ):
         return self.refiner(instance_embeds, frame_embeds, mask_features, train=train)
 
-    def __call__(self, images: jax.Array, num_frames: int, train: bool = False):
-        """Full online path (segment -> track) for init/compile checks.
+    def __call__(
+        self,
+        images: jax.Array,
+        num_frames: int,
+        train: bool = False,
+        with_refiner: bool = True,
+    ):
+        """Full path (segment -> track [-> refine]) for init/compile checks.
 
         images: (B*T, H, W, 3). The frame-independent segmenter yields one
         query set per frame; queries regroup to (B, T, Q, C) for the tracker.
+        ``with_refiner=True`` also traces the offline refiner so one ``init``
+        materializes every stage's parameters.
         """
         seg = self.segment_frames(images)
         bt, q, c = seg["pred_embds"].shape
@@ -111,5 +119,9 @@ class DVISPlus(nn.Module):
         mf = seg["mask_features"]
         mask_features = mf.reshape(b, num_frames, *mf.shape[2:])
         out, state = self.track(norm, embds, mask_features, train=train)
+        if with_refiner:
+            out = self.refine(
+                out["pred_embds"], out["pred_embds"], mask_features, train=train
+            )
         out["segmenter_outputs"] = seg
         return out, state

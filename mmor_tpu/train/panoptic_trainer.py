@@ -1,0 +1,207 @@
+"""Staged panoptic training: CTVIS -> DVIS online -> DVIS offline.
+
+Equivalent of the reference pipeline (`train_net_video.py` + configs, SURVEY
+§2.2/P17-P20):
+
+- stage "ctvis": the full segmenter trains on frame-level set prediction
+  (criterion per frame) plus the contrastive ReID loss over frames;
+- stage "online": segmenter frozen (`meta_architecture.py:486-489`), the
+  referring tracker trains with query-order noise;
+- stage "offline": segmenter + tracker frozen (`:1180-1181`), the temporal
+  refiner trains over full clips.
+
+Freezing is a parameter partition (gradients only flow into the stage's
+subtree); each stage's checkpoint hands off to the next via the shared param
+tree. Frame-folded criterion: (B, T) folds into the batch axis with T=1
+targets — a documented simplification of the reference's segmenter-guided
+consistent matcher (`VideoHungarianMatcher_Consistent`), which can slot in
+behind ``match`` later.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mmor_tpu.models.meta_arch import DVISConfig, DVISPlus
+from mmor_tpu.train.criterion import CriterionConfig, video_set_criterion, match
+from mmor_tpu.train.ctvis import ctvis_reid_loss
+from mmor_tpu.train.trainer import partition_params
+
+STAGE_TRAINABLE = {
+    "ctvis": ("segmenter",),
+    "online": ("tracker",),
+    "offline": ("refiner",),
+}
+
+
+@dataclass(frozen=True)
+class PanopticTrainConfig:
+    stage: str = "ctvis"
+    criterion: CriterionConfig = field(default_factory=CriterionConfig)
+    reid_weight: float = 2.0  # cfg.MODEL.CL_PLUGIN.REID_WEIGHT
+    aux_reid_weight: float = 3.0
+    num_negatives: int = 99  # cfg.MODEL.CL_PLUGIN.NUM_NEGATIVES
+    learning_rate: float = 1e-4  # AdamW, CTVIS_r50.yaml
+    weight_decay: float = 0.05
+    grad_clip: float = 0.01  # detectron2 full-model clip value
+
+
+def make_panoptic_optimizer(cfg: PanopticTrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+    )
+
+
+def _fold_time(targets):
+    """(B, N, T, H, W) video targets -> (B*T, N, 1, H, W) frame targets."""
+    masks = targets["masks"]
+    b, n, t, h, w = masks.shape
+    frame_masks = masks.transpose(0, 2, 1, 3, 4).reshape(b * t, n, 1, h, w)
+    labels = jnp.repeat(targets["labels"], t, axis=0)
+    valid = jnp.repeat(targets["valid"], t, axis=0)
+    if "frame_valid" in targets:  # (B, N, T) per-frame visibility
+        fv = targets["frame_valid"].transpose(0, 2, 1).reshape(b * t, n)
+        valid = valid & fv
+    return {"labels": labels, "masks": frame_masks, "valid": valid}
+
+
+def make_panoptic_train_step(
+    model: DVISPlus,
+    cfg: PanopticTrainConfig,
+    params,
+    class_weights=None,
+):
+    """Build (step_fn(state, batch, key) -> (state, metrics), init_state).
+
+    batch: images (B*T, H, W, 3) normalized; num_frames static via closure is
+    taken from targets; targets: labels (B, N), masks (B, N, T, H/4, W/4),
+    valid (B, N), optional frame_valid (B, N, T).
+    """
+    tx = make_panoptic_optimizer(cfg)
+    trainable, _frozen, rebuild = partition_params(
+        params, STAGE_TRAINABLE[cfg.stage]
+    )
+    state = {
+        "trainable": trainable,
+        "opt_state": tx.init(trainable),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+    def losses_ctvis(full_params, batch, key):
+        images, targets = batch["images"], batch["targets"]
+        b, n, t = targets["masks"].shape[:3]
+        seg = model.apply(full_params, images, method=DVISPlus.segment_frames)
+        outputs = {
+            "pred_logits": seg["pred_logits"],  # (B*T, Q, K+1)
+            "pred_masks": seg["pred_masks"],  # (B*T, Q, 1, H, W)
+            "aux_outputs": [
+                {"pred_logits": a["pred_logits"], "pred_masks": a["pred_masks"]}
+                for a in seg["aux_outputs"]
+            ],
+        }
+        frame_targets = _fold_time(targets)
+        key, k_crit, k_match, k_neg = jax.random.split(key, 4)
+        losses = video_set_criterion(
+            cfg.criterion, outputs, frame_targets, k_crit, class_weights
+        )
+        # contrastive ReID across frames
+        assignment = match(cfg.criterion, outputs, frame_targets, k_match)
+        q = seg["pred_embds"].shape[1]
+        embeds = seg["pred_embds"].reshape(b, t, q, -1)
+        reid = ctvis_reid_loss(
+            embeds,
+            assignment.reshape(b, t, n),
+            frame_targets["valid"].reshape(b, t, n),
+            k_neg,
+            num_negatives=min(cfg.num_negatives, q - 1),
+        )
+        losses["loss_reid"] = reid["loss_reid"]
+        losses["loss_aux_reid"] = reid["loss_aux_reid"]
+        losses["total"] = (losses["total"]
+                           + cfg.reid_weight * reid["loss_reid"]
+                           + cfg.aux_reid_weight * reid["loss_aux_reid"])
+        return losses
+
+    def _video_outputs(full_params, batch, key, with_refiner: bool):
+        images, targets = batch["images"], batch["targets"]
+        b, n, t = targets["masks"].shape[:3]
+        seg = jax.lax.stop_gradient(
+            model.apply(full_params, images, method=DVISPlus.segment_frames)
+        )
+        q, c = seg["pred_embds"].shape[1:]
+        embds = seg["pred_embds"].reshape(b, t, q, c)
+        norm = embds / (jnp.linalg.norm(embds, axis=-1, keepdims=True) + 1e-6)
+        mf = seg["mask_features"]
+        mask_features = mf.reshape(b, t, *mf.shape[2:])
+        out, _state = model.apply(
+            full_params, norm, embds, mask_features,
+            noise_key=key, train=not with_refiner,
+            method=DVISPlus.track,
+        )
+        if with_refiner:
+            out = jax.lax.stop_gradient(out)
+            out = model.apply(
+                full_params,
+                out["pred_embds"], out["pred_embds"], mask_features,
+                train=True, method=DVISPlus.refine,
+            )
+        return out
+
+    def losses_tracker(full_params, batch, key, with_refiner: bool):
+        targets = batch["targets"]
+        b, n, t = targets["masks"].shape[:3]
+        k_fwd, k_crit = jax.random.split(key)
+        out = _video_outputs(full_params, batch, k_fwd, with_refiner)
+        # fold frames into the batch axis for frame-level supervision
+        q = out["pred_masks"].shape[1]
+
+        def fold(o):
+            logits = o["pred_logits"]  # (B, T, Q, K+1)
+            masks = o["pred_masks"]  # (B, Q, T, H, W)
+            return {
+                "pred_logits": logits.reshape(b * t, q, -1),
+                "pred_masks": masks.transpose(0, 2, 1, 3, 4).reshape(
+                    b * t, q, 1, *masks.shape[-2:]
+                ),
+            }
+
+        outputs = fold(out)
+        outputs["aux_outputs"] = [fold(a) for a in out.get("aux_outputs", [])]
+        frame_targets = _fold_time(targets)
+        return video_set_criterion(
+            cfg.criterion, outputs, frame_targets, k_crit, class_weights
+        )
+
+    def step_fn(state, batch, key):
+        def loss_fn(trainable_now):
+            full = rebuild(trainable_now)
+            if cfg.stage == "ctvis":
+                losses = losses_ctvis(full, batch, key)
+            elif cfg.stage == "online":
+                losses = losses_tracker(full, batch, key, with_refiner=False)
+            elif cfg.stage == "offline":
+                losses = losses_tracker(full, batch, key, with_refiner=True)
+            else:
+                raise ValueError(f"unknown stage {cfg.stage!r}")
+            return losses["total"], losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["trainable"]
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["trainable"])
+        new_trainable = optax.apply_updates(state["trainable"], updates)
+        new_state = {
+            "trainable": new_trainable,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics = {k: v for k, v in losses.items() if not k[-1].isdigit()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step_fn, state, rebuild
