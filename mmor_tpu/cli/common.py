@@ -1,0 +1,89 @@
+"""Shared CLI plumbing: presets, tokenizers, dataset/predictor construction."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import jax
+
+from mmor_tpu.config import LlamaConfig, MM2SGConfig
+from mmor_tpu.data.or_dataset import ORDataset
+from mmor_tpu.inference import ByteTokenizer, SceneGraphPredictor
+from mmor_tpu.models.mm2sg import MM2SG
+from mmor_tpu.sg.prompts import IMAGE_TOKEN_INDEX
+from mmor_tpu.utils.checkpoint import restore_pytree
+
+
+def load_tokenizer(path: str | None):
+    """HF tokenizer from a local dir, else the byte-level fallback."""
+    if path:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(path)
+        tok.vocab_size = len(tok)
+        return tok
+    return ByteTokenizer()
+
+
+def model_config(preset: str, tokenizer) -> MM2SGConfig:
+    from __graft_entry__ import _preset
+
+    cfg = _preset(preset)
+    if preset == "tiny":
+        cfg = MM2SGConfig.tiny(
+            llama=LlamaConfig.tiny(vocab_size=max(tokenizer.vocab_size, 259))
+        )
+    return cfg
+
+
+def make_dataset(args) -> ORDataset:
+    if args.synthetic:
+        from mmor_tpu.data.synthetic import build_synthetic_dataset
+
+        root = Path(tempfile.mkdtemp(prefix="mmor_synth_"))
+        paths = build_synthetic_dataset(root, n_frames=args.synthetic)
+        return ORDataset(split=args.split if args.split != "train" else "train",
+                         data_path=paths["data_path"],
+                         mmor_root=paths["mmor_root"],
+                         or4d_root=paths["or4d_root"])
+    return ORDataset(split=args.split, data_path=args.data_path)
+
+
+def init_params(cfg: MM2SGConfig, model: MM2SG):
+    """Randomly initialized params with every modality traced."""
+    import jax.numpy as jnp
+
+    b, t, v, s = 1, 16, cfg.pooler.max_views, cfg.vision.image_size
+    ids = jnp.full((b, t), 3, jnp.int32).at[0, 1].set(IMAGE_TOKEN_INDEX)
+    return model.init(
+        jax.random.PRNGKey(0), ids, jnp.ones((b, t), jnp.int32),
+        jnp.zeros((b, v, s, s, 3)), jnp.ones((b, v), jnp.int32),
+        audio_embedding=jnp.zeros((b, cfg.pooler.audio_dim)),
+        segmasks=jnp.zeros(
+            (b, cfg.pooler.num_segmask_tokens, cfg.segmask.mask_size,
+             cfg.segmask.mask_size), jnp.int32,
+        ),
+        pc_points=jnp.zeros((b, cfg.ptv3.max_points, 6)),
+        pc_valid=jnp.ones((b, cfg.ptv3.max_points), bool),
+    )
+
+
+def build_predictor(
+    preset: str, tokenizer, checkpoint: str | Path | None,
+    temporality: str | None = None,
+) -> SceneGraphPredictor:
+    cfg = model_config(preset, tokenizer)
+    model = MM2SG(cfg)
+    params = init_params(cfg, model)
+    if checkpoint:
+        ckpt = Path(checkpoint)
+        target = ckpt / "state" if (ckpt / "state").exists() else ckpt
+        restored = restore_pytree(target, params)
+        params = restored.get("params_full", restored) if isinstance(restored, dict) else restored
+        if "params" not in params:
+            params = {"params": params}
+    return SceneGraphPredictor(
+        cfg=cfg, model=model, params=params, tokenizer=tokenizer,
+        temporality=temporality,
+    )

@@ -74,7 +74,8 @@ class PQStat:
             )
             for key in ("pq", "sq", "rq", "precision", "recall"):
                 sums[key] += per_class[cat][key]
-        avg = {k: (v / n if n else 0.0) for k, v in sums.items()}
+        avg = {k: (sums[k] / n if n else 0.0)
+               for k in ("pq", "sq", "rq", "precision", "recall")}
         avg["n"] = n
         return avg, per_class
 
