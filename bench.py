@@ -3,16 +3,23 @@
 Runs the flagship-geometry MM2SG (LLaVA-7B-class decoder + CLIP ViT-L/14-336
 + pooler) end to end — 7 camera views -> CLIP -> pooler (+pc/audio/segmask
 tokens) -> projector -> multimodal splice -> prefill -> greedy KV-cached
-decode — on synthetic inputs, and prints ONE JSON line.
+decode (full 300 tokens, no early stop) — on synthetic inputs, and prints ONE
+JSON line.
+
+Default configuration: int8 decoder weights (ops/quantized_matmul W8A8
+Pallas kernel). On this chip int8 matmuls are not faster per token, but the
+7.6 GB weight footprint (vs 14.2 GB bf16) lets batch 8 share each weight
+stream across 8 frames — ~2.3x the bf16 batch-1 throughput.
 
 ``vs_baseline`` is the ratio against the reference setup's estimated A100
 throughput (batch 8, greedy, max_new_tokens 300, LLaVA-v1.5-7B ~= 35 tok/s
 per sequence => ~0.93 frames/s; the repo publishes no numbers — BASELINE.md).
 
 Env overrides: MMOR_TPU_BENCH_PRESET (7b|small|tiny), MMOR_TPU_BENCH_BATCH,
-MMOR_TPU_BENCH_NEW_TOKENS, MMOR_TPU_BENCH_PROMPT.
+MMOR_TPU_BENCH_NEW_TOKENS, MMOR_TPU_BENCH_PROMPT, MMOR_TPU_BENCH_QUANT (1|0).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -22,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mmor_tpu.models.mm2sg import MM2SG, generate
 from __graft_entry__ import _example_batch, _preset
@@ -31,11 +39,17 @@ A100_REFERENCE_FPS = 0.93  # estimated reference throughput (see module docstrin
 
 def main():
     preset = os.environ.get("MMOR_TPU_BENCH_PRESET", "7b")
-    batch_size = int(os.environ.get("MMOR_TPU_BENCH_BATCH", "1"))
+    quant = os.environ.get("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
+    default_batch = "8" if quant else "1"
+    batch_size = int(os.environ.get("MMOR_TPU_BENCH_BATCH", default_batch))
     new_tokens = int(os.environ.get("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
     prompt_len = int(os.environ.get("MMOR_TPU_BENCH_PROMPT", "128"))
 
     cfg = _preset(preset)
+    if quant:
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, weight_quant=True)
+        )
     model = MM2SG(cfg)
     batch = _example_batch(cfg, batch=batch_size, prompt_len=prompt_len,
                            key=jax.random.PRNGKey(0))
@@ -47,7 +61,7 @@ def main():
             audio_embedding=batch["audio_embedding"], segmasks=batch["segmasks"],
         )
     )
-    # zero-filled params: benchmark timing is shape-bound, not value-bound
+    # zero-filled params: benchmark timing is shape/dtype-bound, not value-bound
     params = jax.jit(
         lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     )()
@@ -61,9 +75,7 @@ def main():
             max_new_tokens=new_tokens, eos_token_id=-1,
         )
     )
-    import numpy as np
-
-    # force a device->host transfer for sync: block_until_ready is unreliable
+    # force device->host transfers for sync: block_until_ready is unreliable
     # through the experimental axon tunnel
     np.asarray(run(params, batch))  # compile + warmup
 
@@ -74,8 +86,9 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = batch_size * iters / elapsed
+    tag = "int8" if quant else "bf16"
     print(json.dumps({
-        "metric": f"mm2sg_{preset}_e2e_frames_per_sec_per_chip",
+        "metric": f"mm2sg_{preset}_{tag}_b{batch_size}_e2e_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_REFERENCE_FPS, 4),

@@ -30,6 +30,7 @@ class LlamaConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    weight_quant: bool = False  # int8 weights (serving; see ops/quantized_matmul)
 
     @property
     def head_dim(self) -> int:

@@ -23,8 +23,26 @@ import jax.numpy as jnp
 
 from mmor_tpu.config import LlamaConfig
 from mmor_tpu.ops.attention import decode_attention, flash_attention
+from mmor_tpu.ops.quantized_matmul import int8_matmul, quantize_weights
 
 KVCache = dict[str, Any]
+
+
+class QuantDense(nn.Module):
+    """Dense with int8 weights + per-channel scales, served by the Pallas
+    dequant-matmul kernel. Parameter tree: {w_q int8 (in, out), scale (out,)};
+    populate via ``quantize_llama_params`` — init values are placeholders."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = x.shape[-1]
+        w_q = self.param("w_q", nn.initializers.zeros, (k, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        flat = x.reshape(-1, k)
+        out = int8_matmul(flat, w_q, scale)
+        return out.reshape(*x.shape[:-1], self.features)
 
 
 class RMSNorm(nn.Module):
@@ -64,9 +82,13 @@ class LlamaBlock(nn.Module):
     def __call__(self, x, cache_kv, positions, segment_ids, kv_mask, write_pos):
         cfg = self.cfg
         decode = cache_kv is not None
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
-        )
+        if cfg.weight_quant:
+            dense = lambda feats, name: QuantDense(feats, name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                name=name,
+            )
         batch, seq, _ = x.shape
         h = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="attn_norm")(x)
         q = dense(cfg.n_heads * cfg.head_dim, "q_proj")(h)
@@ -134,10 +156,13 @@ class LlamaModel(nn.Module):
             length=cfg.n_layers,
         )(cfg, name="blocks")
         self.final_norm = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="final_norm")
-        self.lm_head = nn.Dense(
-            cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name="lm_head",
-        )
+        if cfg.weight_quant:
+            self.lm_head = QuantDense(cfg.vocab_size, name="lm_head")
+        else:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name="lm_head",
+            )
 
     def embed_tokens(self, input_ids: jax.Array) -> jax.Array:
         return self.embed(input_ids)
@@ -277,3 +302,23 @@ def greedy_decode(
         cond_fn, step_fn, (jnp.array(0, jnp.int32), tokens, cache, done)
     )
     return tokens
+
+
+def quantize_llama_params(params: dict) -> dict:
+    """bf16/f32 LlamaModel params -> int8-quantized tree for weight_quant=True.
+
+    Blocks' stacked (L, in, out) kernels quantize per layer; lm_head
+    quantizes whole; embeddings and norms stay as-is.
+    """
+    tree = jax.tree.map(lambda x: x, params)  # shallow copy
+    inner = tree["params"] if "params" in tree else tree
+    blocks = inner["blocks"]
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"):
+        kernel = blocks[name].pop("kernel")
+        w_q, scale = jax.vmap(quantize_weights)(kernel)
+        blocks[name] = {"w_q": w_q, "scale": scale}
+    head = inner["lm_head"].pop("kernel")
+    w_q, scale = quantize_weights(head)
+    inner["lm_head"] = {"w_q": w_q, "scale": scale}
+    return tree

@@ -111,3 +111,39 @@ def test_greedy_decode_matches_unrolled_argmax(tiny_model):
         expected.append(int(nxt[0]))
         seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
     np.testing.assert_array_equal(np.asarray(tokens[0]), np.asarray(expected))
+
+
+def test_int8_quantized_model_close_to_float(tiny_model):
+    import dataclasses
+
+    from mmor_tpu.models.llama import quantize_llama_params
+    from mmor_tpu.ops.quantized_matmul import int8_matmul, quantize_weights
+
+    cfg, model, params = tiny_model
+    qcfg = dataclasses.replace(cfg, weight_quant=True)
+    qmodel = LlamaModel(qcfg)
+    qparams = quantize_llama_params(params)
+
+    ids = jax.random.randint(jax.random.PRNGKey(7), (2, 10), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    ref_logits, _ = model.apply(params, input_ids=ids, attention_mask=mask)
+    q_logits, _ = qmodel.apply(qparams, input_ids=ids, attention_mask=mask)
+    # int8 per-channel quantization: logits track the float model closely
+    ref_probs = jax.nn.softmax(ref_logits, -1)
+    q_probs = jax.nn.softmax(q_logits, -1)
+    assert float(jnp.max(jnp.abs(ref_probs - q_probs))) < 0.05
+    # greedy decode agrees on most tokens
+    agree = jnp.mean((jnp.argmax(ref_logits, -1) == jnp.argmax(q_logits, -1)).astype(jnp.float32))
+    assert float(agree) > 0.8
+
+
+def test_quantize_weights_roundtrip():
+    from mmor_tpu.ops.quantized_matmul import int8_matmul, quantize_weights
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 48))
+    w_q, scale = quantize_weights(w)
+    deq = w_q.astype(jnp.float32) * scale[None, :]
+    assert float(jnp.max(jnp.abs(deq - w))) < float(jnp.max(jnp.abs(w))) / 100
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    out = int8_matmul(x, w_q, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ deq), atol=1e-3)
