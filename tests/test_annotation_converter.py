@@ -74,4 +74,4 @@ def test_convert_take_with_subsampling(tmp_path):
     samples = convert_take(tmp_path, "007_TKA_MMOR", is_4dor=False, sample_every=3)
     assert len(samples) == 2  # every 3rd frame
     assert samples[0]["frame_id"] == "000000"
-    assert ["patient", "operating_table", "lyingOn"] in samples[0]["relationships"]
+    assert ("patient", "operating_table", "lyingOn") in samples[0]["relationships"]
