@@ -1,0 +1,66 @@
+"""Tensor-parallel sharding rules for the MM2SG decoder.
+
+Megatron-style TP expressed purely through ``jax.sharding`` specs — XLA's
+SPMD partitioner splits the matmuls and inserts the all-reduces over ICI
+(scaling-book recipe: annotate, don't hand-write collectives):
+
+- q/k/v and gate/up kernels shard their OUTPUT dim on ``model`` (heads split
+  across chips);
+- o_proj and down_proj shard their INPUT dim on ``model`` (the following
+  residual-add triggers the psum);
+- lm_head shards the vocab dim; embeddings replicate.
+
+Everything else (vision tower, pooler, PTv3) replicates — those are small
+next to the 7B decoder. Requires n_heads % model_axis == 0.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, spec builder). Kernel layouts: blocks are stacked (L, in, out);
+# lm_head is (in, out).
+TP_RULES: tuple[tuple[str, P], ...] = (
+    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, None, "model")),
+    (r".*blocks/(o_proj|down_proj)/kernel$", P(None, "model", None)),
+    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_q$", P(None, None, "model")),
+    (r".*blocks/(o_proj|down_proj)/w_q$", P(None, "model", None)),
+    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P(None, "model")),
+    (r".*lm_head/kernel$", P(None, "model")),
+    (r".*lm_head/w_q$", P(None, "model")),
+    (r".*lm_head/scale$", P("model")),
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def tp_param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings: TP for decoder kernels, replicated otherwise."""
+
+    def spec_for(path, leaf):
+        ps = _path_str(path)
+        for pattern, spec in TP_RULES:
+            if re.match(pattern, ps):
+                # skip axes that don't divide evenly (tiny test configs)
+                sizes = leaf.shape
+                ok = all(
+                    ax is None or sizes[i] % mesh.shape[ax] == 0
+                    for i, ax in enumerate(spec)
+                )
+                if ok:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a param tree according to the TP rules."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, tp_param_shardings(mesh, params)
+    )
