@@ -52,3 +52,16 @@ def test_ignore_label_excluded():
     sem[0, :] = 255  # ignored row
     out = stq([(sem, inst)], [pred[0]], num_classes=3)
     assert out["stq"] == pytest.approx(1.0)
+
+
+def test_miou_and_vc():
+    from mmor_tpu.eval.semantic import miou, video_consistency
+
+    gt = [np.full((8, 8), 1, np.int64) for _ in range(4)]
+    pred_good = [g.copy() for g in gt]
+    assert miou(gt, pred_good, 3)["miou"] == 1.0
+    assert video_consistency(gt, pred_good, n=2) == 1.0
+    pred_flicker = [g.copy() for g in gt]
+    pred_flicker[1][:] = 2  # one flickering frame
+    assert video_consistency(gt, pred_flicker, n=2) < 1.0
+    assert miou(gt, pred_flicker, 3)["miou"] < 1.0
