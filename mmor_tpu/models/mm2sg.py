@@ -118,8 +118,17 @@ class MM2SG(nn.Module):
         pc_points: jax.Array | None = None,  # (B, P, 6) raw padded clouds
         pc_valid: jax.Array | None = None,  # (B, P)
     ) -> jax.Array:
-        """Images + extra modalities -> (B, M, lm_dim) projected multimodal tokens."""
+        """Images + extra modalities -> (B, M, lm_dim) projected multimodal tokens.
+
+        ``images`` may be CLIP-preprocessed floats (B, V, S, S, 3) or raw
+        uint8 frames (B, V, H, W, 3) — raw frames preprocess on-device
+        (pad-to-square + bicubic resize + normalize), fusing into the patch
+        embedding per BASELINE's fused-preprocessing requirement."""
         cfg = self.cfg
+        if images.dtype == jnp.uint8:
+            from mmor_tpu.ops.image_preproc import preprocess_views
+
+            images = preprocess_views(images, cfg.vision.image_size)
         if pc_points is not None:
             pc_feature = self.encode_pc(pc_points, pc_valid)
         batch, views = images.shape[:2]
