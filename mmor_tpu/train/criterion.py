@@ -197,3 +197,95 @@ def video_set_criterion(
                          + cfg.dice_weight * l_dice)
     losses["total"] = total
     return losses
+
+
+def frame_costs(cfg: CriterionConfig, outputs, targets, key) -> jax.Array:
+    """Per-frame match costs -> (B, T, Q, N).
+
+    outputs: pred_logits (B, T, Q, K+1), pred_masks (B, Q, T, H, W);
+    targets: labels (B, N), masks (B, N, T, H', W').
+    """
+    outputs = jax.lax.stop_gradient(outputs)
+    logits = outputs["pred_logits"].astype(jnp.float32)
+    pred_masks = outputs["pred_masks"].astype(jnp.float32)
+    tgt_masks = targets["masks"].astype(jnp.float32)
+    labels = targets["labels"]
+    b, t, q, _ = logits.shape
+    n = labels.shape[1]
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    cost_class = -jnp.take_along_axis(
+        probs, jnp.maximum(labels, 0)[:, None, None, :].repeat(t, 1).repeat(q, 2),
+        axis=-1,
+    )  # (B, T, Q, N)
+
+    coords = jax.random.uniform(key, (b * t, cfg.num_points, 2))
+    # per-frame sampling: fold T into batch
+    pm = pred_masks.transpose(0, 2, 1, 3, 4).reshape(b * t, q, 1, *pred_masks.shape[-2:])
+    tm = tgt_masks.transpose(0, 2, 1, 3, 4).reshape(b * t, n, 1, *tgt_masks.shape[-2:])
+    x = _sample_masks_shared(pm, coords)  # (BT, Q, P)
+    tgt = _sample_masks_shared(tm, coords)  # (BT, N, P)
+    p = x.shape[-1]
+    pos = jax.nn.softplus(-x)
+    neg = jax.nn.softplus(x)
+    cost_mask = (jnp.einsum("bqp,bnp->bqn", pos, tgt)
+                 + jnp.einsum("bqp,bnp->bqn", neg, 1 - tgt)) / p
+    xs = jax.nn.sigmoid(x)
+    inter = 2 * jnp.einsum("bqp,bnp->bqn", xs, tgt)
+    denom = xs.sum(-1)[:, :, None] + tgt.sum(-1)[:, None, :]
+    cost_dice = 1 - (inter + 1) / (denom + 1)
+
+    cost = (cfg.mask_weight * cost_mask.reshape(b, t, q, n)
+            + cfg.class_weight * cost_class
+            + cfg.dice_weight * cost_dice.reshape(b, t, q, n))
+    return cost
+
+
+def _consistent_solve(cost: np.ndarray, first_frame: np.ndarray,
+                      valid: np.ndarray) -> np.ndarray:
+    from scipy.optimize import linear_sum_assignment
+
+    b, t, q, n = cost.shape
+    out = np.full((b, n), -1, np.int32)
+    for i in range(b):
+        used: list[int] = []
+        for f in range(t):
+            cols = np.nonzero(valid[i] & (first_frame[i] == f))[0]
+            if len(cols) == 0:
+                continue
+            free_rows = np.array([r for r in range(q) if r not in used])
+            c = np.nan_to_num(cost[i, f][free_rows][:, cols], nan=1e9)
+            rows, assigned = linear_sum_assignment(c)
+            for r, a in zip(rows, assigned):
+                out[i, cols[a]] = free_rows[r]
+                used.append(int(free_rows[r]))
+    return out
+
+
+def consistent_match(
+    cfg: CriterionConfig, outputs, targets, key,
+    matcher_outputs=None,
+) -> jax.Array:
+    """DVIS consistent matching: each instance matches once, in its first
+    visible frame; the query carries the identity for the whole clip
+    (`VideoHungarianMatcher_Consistent`, matcher.py:198-260). When
+    ``matcher_outputs`` is given (the frozen segmenter's predictions), costs
+    come from it — the reference's segmenter-guided first-half-of-training
+    matching (meta_architecture.py:670-677).
+
+    targets need ``frame_valid`` (B, N, T); returns (B, N) query per instance.
+    """
+    cost_src = matcher_outputs if matcher_outputs is not None else outputs
+    cost = frame_costs(cfg, cost_src, targets, key)  # (B, T, Q, N)
+    frame_valid = targets["frame_valid"]  # (B, N, T)
+    t = frame_valid.shape[-1]
+    first = jnp.argmax(frame_valid.astype(jnp.int32), axis=-1)  # (B, N)
+    first = jnp.where(jnp.any(frame_valid, -1), first, t)
+    b, n = first.shape
+    return jax.pure_callback(
+        _consistent_solve,
+        jax.ShapeDtypeStruct((b, n), jnp.int32),
+        cost.astype(jnp.float32), first.astype(jnp.int32),
+        targets["valid"].astype(bool),
+        vmap_method="sequential",
+    )

@@ -27,7 +27,14 @@ import jax.numpy as jnp
 import optax
 
 from mmor_tpu.models.meta_arch import DVISConfig, DVISPlus
-from mmor_tpu.train.criterion import CriterionConfig, video_set_criterion, match
+from mmor_tpu.train.criterion import (
+    CriterionConfig,
+    consistent_match,
+    loss_labels,
+    loss_masks,
+    match,
+    video_set_criterion,
+)
 from mmor_tpu.train.ctvis import ctvis_reid_loss
 from mmor_tpu.train.trainer import partition_params
 
@@ -38,9 +45,18 @@ STAGE_TRAINABLE = {
 }
 
 
+def _default_weights(crit: CriterionConfig):
+    from mmor_tpu.train.criterion import build_class_weights
+
+    return build_class_weights(crit)
+
+
 @dataclass(frozen=True)
 class PanopticTrainConfig:
     stage: str = "ctvis"
+    # guide tracker/refiner matching with the frozen segmenter's predictions
+    # (reference: enabled for the first half of training)
+    match_from_segmenter: bool = False
     criterion: CriterionConfig = field(default_factory=CriterionConfig)
     reid_weight: float = 2.0  # cfg.MODEL.CL_PLUGIN.REID_WEIGHT
     aux_reid_weight: float = 3.0
@@ -153,12 +169,35 @@ def make_panoptic_train_step(
         return out
 
     def losses_tracker(full_params, batch, key, with_refiner: bool):
+        """Tracker/refiner stages: one consistent (first-appearance) match per
+        clip — optionally guided by the frozen segmenter — then per-frame
+        class/mask losses with the fixed assignment (DVIS semantics)."""
         targets = batch["targets"]
         b, n, t = targets["masks"].shape[:3]
-        k_fwd, k_crit = jax.random.split(key)
+        k_fwd, k_match, k_pts = jax.random.split(key, 3)
         out = _video_outputs(full_params, batch, k_fwd, with_refiner)
-        # fold frames into the batch axis for frame-level supervision
         q = out["pred_masks"].shape[1]
+
+        if "frame_valid" not in targets:
+            targets = dict(targets, frame_valid=jnp.broadcast_to(
+                targets["valid"][..., None], (b, n, t)
+            ))
+        matcher_outputs = None
+        if cfg.match_from_segmenter:
+            # segmenter-guided matching, used for the first half of training
+            # in the reference (meta_architecture.py:670-677)
+            seg = jax.lax.stop_gradient(
+                model.apply(full_params, batch["images"],
+                            method=DVISPlus.segment_frames)
+            )
+            matcher_outputs = {
+                "pred_logits": seg["pred_logits"].reshape(b, t, q, -1),
+                "pred_masks": seg["pred_masks"].reshape(b, t, q, *seg["pred_masks"].shape[-2:])
+                .transpose(0, 2, 1, 3, 4),
+            }
+        assignment = consistent_match(
+            cfg.criterion, out, targets, k_match, matcher_outputs=matcher_outputs
+        )  # (B, N)
 
         def fold(o):
             logits = o["pred_logits"]  # (B, T, Q, K+1)
@@ -170,12 +209,27 @@ def make_panoptic_train_step(
                 ),
             }
 
-        outputs = fold(out)
-        outputs["aux_outputs"] = [fold(a) for a in out.get("aux_outputs", [])]
         frame_targets = _fold_time(targets)
-        return video_set_criterion(
-            cfg.criterion, outputs, frame_targets, k_crit, class_weights
-        )
+        tiled_assignment = jnp.repeat(assignment, t, axis=0)  # (B*T, N)
+        losses: dict = {}
+        total = 0.0
+        layer_outputs = [fold(out)] + [fold(a) for a in out.get("aux_outputs", [])]
+        for i, o in enumerate(layer_outputs):
+            k_pts, k_layer = jax.random.split(k_pts)
+            l_ce = loss_labels(cfg.criterion, o, frame_targets, tiled_assignment,
+                               class_weights if class_weights is not None
+                               else _default_weights(cfg.criterion))
+            l_mask, l_dice = loss_masks(cfg.criterion, o, frame_targets,
+                                        tiled_assignment, k_layer)
+            suffix = "" if i == 0 else f"_{i - 1}"
+            losses[f"loss_ce{suffix}"] = l_ce
+            losses[f"loss_mask{suffix}"] = l_mask
+            losses[f"loss_dice{suffix}"] = l_dice
+            total = total + (cfg.criterion.class_weight * l_ce
+                             + cfg.criterion.mask_weight * l_mask
+                             + cfg.criterion.dice_weight * l_dice)
+        losses["total"] = total
+        return losses
 
     def step_fn(state, batch, key):
         def loss_fn(trainable_now):

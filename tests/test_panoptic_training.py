@@ -80,3 +80,16 @@ def test_reid_loss_no_valid_instances_is_zero():
     out = ctvis_reid_loss(embeds, assignment, valid, jax.random.PRNGKey(1),
                           num_negatives=2)
     assert float(out["loss_reid"]) == 0.0
+
+
+def test_online_stage_with_segmenter_guided_matching(setup):
+    cfg, model, params, batch = setup
+    tcfg = PanopticTrainConfig(
+        stage="online",
+        match_from_segmenter=True,
+        criterion=CriterionConfig.tiny(num_classes=model.cfg.segmenter.decoder.num_classes),
+        num_negatives=4,
+    )
+    step_fn, state, _ = make_panoptic_train_step(model, tcfg, params)
+    state2, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["total"]))
