@@ -112,3 +112,21 @@ def test_mmor_dataset_records(mmor_tree, tmp_path):
     # second pass hits the cache
     records2 = list(ds.video_records())
     np.testing.assert_array_equal(records2[0]["pan_seg"], rec["pan_seg"])
+
+
+def test_gt_export_and_class_freqs(mmor_tree, tmp_path):
+    from mmor_tpu.data.panoptic import MMORPanopticDataset
+    from mmor_tpu.eval.gt_export import class_pixel_frequencies, export_ground_truth
+
+    ds = MMORPanopticDataset(mmor_tree, split="mini_train",
+                             cache_dir=tmp_path / "cache2",
+                             max_video_length=None, overlap=0)
+    records = list(ds.video_records())
+    gt = export_ground_truth(records, tmp_path / "gt", split="mini_train")
+    assert len(gt["videos"]) == 3
+    assert (tmp_path / "gt" / "mini_train_gt.json").exists()
+    assert (tmp_path / "gt" / "pan_gt" / records[0]["video_id"] / "000000.png").exists()
+    freqs = class_pixel_frequencies(records)
+    assert sum(freqs.values()) > 0
+    from mmor_tpu.data.panoptic import LABEL_TO_CATEGORY_ID
+    assert LABEL_TO_CATEGORY_ID[5] in freqs
