@@ -162,14 +162,31 @@ def make_lora_train_step(
     params,
     trainable_patterns: tuple[str, ...] = DEFAULT_TRAINABLE,
     vocab_weights=None,
+    vision_unfreeze_last_n: int | None = None,
 ):
     """Build (train_step, initial_state) for LoRA + partial fine-tuning.
 
     state = {lora, trainable, opt_state, step}; the frozen remainder is
     closed over (donated once to device). Gradients flow only into the LoRA
-    factors and the trainable subtrees.
+    factors and the trainable subtrees. ``vision_unfreeze_last_n`` reproduces
+    the reference's ``unfreeze_n_vision_tower_layers`` (train.py:1257-1261):
+    the CLIP tower's scanned blocks join the trainables with a per-layer
+    gradient mask that zeroes all but the last N layers.
     """
+    if vision_unfreeze_last_n:
+        trainable_patterns = tuple(trainable_patterns) + ("vision_tower",)
     trainable, _frozen, rebuild = partition_params(params, trainable_patterns)
+
+    vision_masks = None
+    if vision_unfreeze_last_n:
+        vision_masks = {}
+        for ps, leaf in trainable.items():
+            if "vision_tower/blocks" in ps:
+                n_layers = leaf.shape[0]
+                keep = jnp.arange(n_layers) >= n_layers - vision_unfreeze_last_n
+                vision_masks[ps] = keep.reshape(
+                    (n_layers,) + (1,) * (leaf.ndim - 1)
+                ).astype(leaf.dtype)
     lora_params = lora_lib.init_lora_params(lora_cfg, params, jax.random.PRNGKey(0))
 
     state = {
@@ -200,6 +217,11 @@ def make_lora_train_step(
 
         opt_tree = {"lora": state["lora"], "trainable": state["trainable"]}
         loss, grads = jax.value_and_grad(loss_fn)(opt_tree)
+        if vision_masks:
+            grads["trainable"] = {
+                ps: g * vision_masks[ps] if ps in vision_masks else g
+                for ps, g in grads["trainable"].items()
+            }
         updates, opt_state = tx.update(grads, state["opt_state"], opt_tree)
         new_tree = optax.apply_updates(opt_tree, updates)
         new_state = {

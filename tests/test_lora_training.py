@@ -112,3 +112,28 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     a0 = jax.tree.leaves(lora)[0]
     b0 = jax.tree.leaves(restored["lora"])[0]
     np.testing.assert_allclose(np.asarray(a0), np.asarray(b0))
+
+
+def test_vision_tower_partial_unfreeze(setup):
+    import jax.numpy as jnp
+
+    cfg, model, params, batch = setup
+    lcfg = LoraConfig(rank=2, alpha=4)
+    tx = tr.make_optimizer(tr.TrainConfig(learning_rate=1e-2, total_steps=5))
+    step_fn, state = tr.make_lora_train_step(
+        model, tx, lcfg, params, vision_unfreeze_last_n=1
+    )
+    vt_keys = [k for k in state["trainable"] if "vision_tower/blocks" in k]
+    assert vt_keys, "vision tower blocks should be trainable"
+    before = {k: state["trainable"][k] for k in vt_keys}
+    jitted = jax.jit(step_fn)
+    state2 = state
+    for _ in range(3):  # step past the LR warmup (schedule starts at 0)
+        state2, _ = jitted(state2, batch)
+    moved_any = False
+    for k in vt_keys:
+        delta = jnp.abs(state2["trainable"][k] - before[k])
+        # only the last layer of the scanned stack moves
+        assert float(delta[:-1].max()) == 0.0, k
+        moved_any = moved_any or float(delta[-1].max()) > 0
+    assert moved_any
