@@ -69,6 +69,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--lora_rank", type=int, default=128)
     p.add_argument("--lora_alpha", type=float, default=256.0)
+    p.add_argument("--unfreeze_vision_layers", type=int, default=None,
+                   help="train the last N CLIP layers (reference: 12)")
     p.add_argument("--token_freqs", default=None,
                    help="token-id frequency JSON for CE weighting")
     p.add_argument("--init_from", default=None, help="curriculum init run dir")
@@ -97,7 +99,8 @@ def main(argv=None):
                                           total_steps=args.steps))
     lora_cfg = LoraConfig(rank=args.lora_rank, alpha=args.lora_alpha)
     step_fn, state = tr.make_lora_train_step(
-        model, tx, lora_cfg, params, vocab_weights=vocab_weights
+        model, tx, lora_cfg, params, vocab_weights=vocab_weights,
+        vision_unfreeze_last_n=args.unfreeze_vision_layers,
     )
     step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
