@@ -31,6 +31,7 @@ PIXEL_STD = (58.395, 57.12, 57.375)
 @dataclass(frozen=True)
 class SegmenterConfig:
     decoder: MaskDecoderConfig = field(default_factory=MaskDecoderConfig)
+    backbone: str = "resnet50"  # resnet50 | swin_t | swin_b
     conv_dim: int = 256
     mask_dim: int = 256
     pixel_decoder_layers: int = 6
@@ -59,7 +60,18 @@ class VideoSegmenter(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.backbone = ResNet50(cfg.dtype, cfg.param_dtype, name="backbone")
+        if cfg.backbone == "resnet50":
+            self.backbone = ResNet50(cfg.dtype, cfg.param_dtype, name="backbone")
+        elif cfg.backbone in ("swin_t", "swin_b"):
+            from mmor_tpu.models.swin import SwinBackbone, SwinConfig
+
+            swin_cfg = (SwinConfig.swin_t if cfg.backbone == "swin_t"
+                        else SwinConfig.swin_b)(
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype
+            )
+            self.backbone = SwinBackbone(swin_cfg, name="backbone")
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.pixel_decoder = MSDeformAttnPixelDecoder(
             conv_dim=cfg.conv_dim,
             mask_dim=cfg.mask_dim,
