@@ -31,7 +31,7 @@ PIXEL_STD = (58.395, 57.12, 57.375)
 @dataclass(frozen=True)
 class SegmenterConfig:
     decoder: MaskDecoderConfig = field(default_factory=MaskDecoderConfig)
-    backbone: str = "resnet50"  # resnet50 | swin_t | swin_b
+    backbone: str = "resnet50"  # resnet50 | swin_t | swin_b | vit_adapter
     conv_dim: int = 256
     mask_dim: int = 256
     pixel_decoder_layers: int = 6
@@ -70,6 +70,16 @@ class VideoSegmenter(nn.Module):
                 dtype=cfg.dtype, param_dtype=cfg.param_dtype
             )
             self.backbone = SwinBackbone(swin_cfg, name="backbone")
+        elif cfg.backbone == "vit_adapter":
+            from mmor_tpu.models.vit_adapter import (
+                VitAdapterBackbone,
+                VitAdapterConfig,
+            )
+
+            self.backbone = VitAdapterBackbone(
+                VitAdapterConfig(dtype=cfg.dtype, param_dtype=cfg.param_dtype),
+                name="backbone",
+            )
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.pixel_decoder = MSDeformAttnPixelDecoder(
