@@ -96,7 +96,8 @@ def main(argv=None):
         )
 
     tx = tr.make_optimizer(tr.TrainConfig(learning_rate=args.lr,
-                                          total_steps=args.steps))
+                                          total_steps=args.steps,
+                                          grad_accum=args.grad_accum))
     lora_cfg = LoraConfig(rank=args.lora_rank, alpha=args.lora_alpha)
     step_fn, state = tr.make_lora_train_step(
         model, tx, lora_cfg, params, vocab_weights=vocab_weights,

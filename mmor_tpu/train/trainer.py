@@ -33,6 +33,7 @@ class TrainConfig:
     b1: float = 0.9
     b2: float = 0.999
     grad_clip: float = 1.0
+    grad_accum: int = 1  # README: per-device batch 4 x grad_accum 4
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -42,10 +43,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         warmup_steps=max(1, int(cfg.total_steps * cfg.warmup_ratio)),
         decay_steps=cfg.total_steps,
     )
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
     )
+    if cfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 def init_train_state(params, tx: optax.GradientTransformation) -> dict[str, Any]:

@@ -137,3 +137,24 @@ def test_vision_tower_partial_unfreeze(setup):
         assert float(delta[:-1].max()) == 0.0, k
         moved_any = moved_any or float(delta[-1].max()) > 0
     assert moved_any
+
+
+def test_grad_accumulation_defers_updates(setup):
+    import jax.numpy as jnp
+
+    cfg, model, params, batch = setup
+    lcfg = LoraConfig(rank=2, alpha=4)
+    tx = tr.make_optimizer(tr.TrainConfig(learning_rate=1e-2, total_steps=10,
+                                          grad_accum=2))
+    step_fn, state = tr.make_lora_train_step(model, tx, lcfg, params)
+    jitted = jax.jit(step_fn)
+    before = jax.tree.leaves(state["trainable"])[0]
+    state1, _ = jitted(state, batch)
+    mid = jax.tree.leaves(state1["trainable"])[0]
+    # first micro-step only accumulates; params move after the second
+    assert float(jnp.max(jnp.abs(mid - before))) == 0.0
+    state2, _ = jitted(state1, batch)
+    state3, _ = jitted(state2, batch)
+    state4, _ = jitted(state3, batch)
+    after = jax.tree.leaves(state4["trainable"])[0]
+    assert float(jnp.max(jnp.abs(after - before))) > 0.0
