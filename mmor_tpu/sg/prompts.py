@@ -106,10 +106,11 @@ def build_sg_prompt(
 ) -> str:
     """Assemble the full generation prompt for one sample.
 
-    Side-channels are injected in the reference order: robot, then tracker,
-    then transcript each prepend in front of ``Entities:`` (so the final order
-    is transcript, tracker, robot, Entities); the memory string follows the
-    image token. ``answer=None`` leaves the assistant turn open for decoding.
+    Side-channels are injected in the reference order — robot, then tracker,
+    then transcript, each splicing directly before ``Entities:``, so the final
+    text reads robot, tracker, transcript, Entities — and the memory string
+    follows the image token. ``answer=None`` leaves the assistant turn open
+    for decoding.
     """
     inp = SG_PROMPT
     if robot_metadata_str is not None:

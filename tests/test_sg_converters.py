@@ -144,3 +144,53 @@ def test_memory_str_drop_history_deterministic():
     )
     assert keep_all.count(";") == 4
     assert drop_all == "Short"
+
+
+def test_golden_full_prompt():
+    """Exact final prompt string for a fully-loaded sample, hand-derived from
+    the reference construction (scene_graph_prediction_model.py:140-205)."""
+    from mmor_tpu.sg.prompts import (
+        build_sg_prompt,
+        format_robot_metadata,
+        format_tracker_metadata,
+    )
+
+    robot = format_robot_metadata({
+        "1": {"type": "phase", "template_name": "drilling_phase"},
+        "0": {"type": "alert", "template_name": "none"},
+    })
+    assert robot == "alert: none, phase: drilling_phase"  # sorted by key
+
+    tracker = format_tracker_metadata(
+        [{"unique_id": "8000057", "button_state": 2,
+          "Translation": [100.7, -3.2, 0.0], "euler_rot": [0.0, 89.6, -1.0]}],
+        {"8000057": "upper_tracker"},
+    )
+    assert tracker == "upper_tracker: state 2, translation 100 -3 0, euler angles 0 89 -1"
+
+    prompt = build_sg_prompt(
+        robot_metadata_str=robot,
+        tracker_metadata_str=tracker,
+        speech_transcript="give me the saw",
+        memory_str="Long: a,b,holding",
+    )
+    expected = (
+        "A chat between a curious user and an artificial intelligence assistant. "
+        "The assistant gives helpful, detailed, and polite answers to the user's questions. "
+        "USER: <image>\n"
+        "<memory_start>: Long: a,b,holding<memory_end>.\n"
+        "<robot_metadata_start>: alert: none, phase: drilling_phase <robot_metadata_end>. "
+        "<tracker_metadata_start>: upper_tracker: state 2, translation 100 -3 0, "
+        "euler angles 0 89 -1 <tracker_metadata_end>. "
+        "<speech_transcript_start>: give me the saw <speech_transcript_end>. "
+        "Entities: [head surgeon, assistant surgeon, circulator, nurse, anaesthetist, mps, "
+        "patient, student, instrument table, operating table, secondary table, anesthesia "
+        "equipment, c_arm, mako_robot, monitor, mps_station, tracker, drape, drill, hammer, "
+        "saw, instrument]. Predicates: [assisting, calibrating, cementing, cleaning, closeTo, "
+        "cutting, drilling, hammering, holding, lyingOn, manipulating, preparing, sawing, "
+        "scanning, suturing, touching]. Given the following scene graph memory representation, "
+        "generate a scene graph for timepoint T. The output should strictly be a list of "
+        'triplets, each in the format "entity1,entity2,predicate;". Do not provide a narrative '
+        "or descriptive text. ASSISTANT:"
+    )
+    assert prompt == expected
