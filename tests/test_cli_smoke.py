@@ -1,0 +1,57 @@
+"""End-to-end CLI smoke runs on synthetic data (tiny presets)."""
+
+import json
+
+import pytest
+
+
+def test_evaluate_sg_cli(capsys):
+    from mmor_tpu.cli.evaluate_sg import main
+
+    main(["--synthetic", "2", "--preset", "tiny", "--mode", "evaluate",
+          "--batch_size", "2"])
+    out = capsys.readouterr().out
+    report = json.loads(out[out.index("{"):])
+    assert "macro_f1" in report
+
+
+def test_train_mm2sg_cli(tmp_path, capsys):
+    from mmor_tpu.cli.train_mm2sg import main
+
+    main(["--synthetic", "2", "--preset", "tiny", "--steps", "2",
+          "--batch_size", "2", "--save_every", "2",
+          "--run_dir", str(tmp_path / "run")])
+    assert (tmp_path / "run" / "checkpoint-2").exists()
+    # auto-resume: a second invocation starts from step 2 and stops immediately
+    main(["--synthetic", "2", "--preset", "tiny", "--steps", "2",
+          "--batch_size", "2", "--save_every", "2",
+          "--run_dir", str(tmp_path / "run")])
+    out = capsys.readouterr().out
+    assert "initialized from" in out
+
+
+def test_train_panoptic_cli(tmp_path):
+    from mmor_tpu.cli.train_panoptic import main
+
+    main(["--synthetic", "--tiny", "--steps", "1", "--frames", "2",
+          "--save_every", "1", "--run_dir", str(tmp_path / "pan"),
+          "--stage", "online"])
+    assert (tmp_path / "pan" / "checkpoint-1" / "state").exists()
+
+
+def test_eval_panoptic_cli(capsys):
+    from mmor_tpu.cli.eval_panoptic import main
+
+    main(["--synthetic", "--tiny"])
+    out = capsys.readouterr().out
+    report = json.loads(out[out.index("{"):])
+    assert "vpq" in report and "stq" in report
+
+
+def test_evaluate_downstream_cli(capsys):
+    from mmor_tpu.cli.evaluate_downstream import main
+
+    main(["--synthetic", "--preset", "tiny"])
+    out = capsys.readouterr().out
+    report = json.loads(out[out.index("{"):])
+    assert report["total"] == 4
