@@ -228,35 +228,30 @@ class SceneGraphPredictor:
     # ---------------------------------------------------------------- #
 
     def predict(self, items) -> list[str]:
-        batch = self.build_batch(items)
-        tokens = np.asarray(self._generate(self.params, batch))
-        eos = self.tokenizer.eos_token_id
-        outputs = []
-        for row in tokens:
-            ids = list(row)
-            if eos in ids:
-                ids = ids[: ids.index(eos)]
-            outputs.append(self.tokenizer.decode(ids).strip())
-        return outputs
+        return self._decode_outputs(self.build_batch(items))
 
     def validate(
         self, items_iter, batch_size: int = 8, limit_batches: int | None = None
     ):
         """Run generation over the dataset and produce the reference's report
-        (per-take / per-datatype / global). Returns (report, raw_predictions)."""
+        (per-take / per-datatype / global). Returns (report, raw_predictions).
+
+        Host batch assembly (JPEG decode, CLIP preprocess, PCD parse) for
+        batch i+1 overlaps with the device generating batch i (a one-deep
+        prefetch pipeline) — except in temporal-PRED mode, where the memory
+        prompt depends on the previous output so prep must stay serial.
+        """
         evaluator = SceneGraphEvaluator()
         raw_predictions: dict[str, list] = {}
         if self.temporality == "PRED":
             batch_size = 1  # history must be causal (main.py:55-60)
 
-        batch_items: list = []
-        n_batches = 0
+        items = list(items_iter)
+        chunks = [items[i:i + batch_size] for i in range(0, len(items), batch_size)]
+        if limit_batches is not None:
+            chunks = chunks[:limit_batches]
 
-        def flush():
-            nonlocal n_batches
-            if not batch_items:
-                return
-            outputs = self.predict(batch_items)
+        def consume(batch_items, outputs):
             for item, text in zip(batch_items, outputs):
                 sample = item["sample"]
                 raw = evaluator.add_sample(
@@ -267,18 +262,32 @@ class SceneGraphPredictor:
                     self.take_to_history[sample["take_name"]].append(
                         {"timepoint_idx": int(sample["frame_id"]), "scene_graph": raw}
                     )
-            batch_items.clear()
-            n_batches += 1
 
-        for item in items_iter:
-            batch_items.append(item)
-            if len(batch_items) == batch_size:
-                flush()
-                if limit_batches is not None and n_batches >= limit_batches:
-                    break
-        if limit_batches is None or n_batches < limit_batches:
-            flush()
+        if self.temporality == "PRED":
+            for chunk in chunks:
+                consume(chunk, self.predict(chunk))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                future = None
+                for i, chunk in enumerate(chunks):
+                    batch = future.result() if future is not None else self.build_batch(chunks[0])
+                    future = (pool.submit(self.build_batch, chunks[i + 1])
+                              if i + 1 < len(chunks) else None)
+                    consume(chunk, self._decode_outputs(batch))
         return evaluator.report(), raw_predictions
+
+    def _decode_outputs(self, batch) -> list[str]:
+        tokens = np.asarray(self._generate(self.params, batch))
+        eos = self.tokenizer.eos_token_id
+        outputs = []
+        for row in tokens:
+            ids = list(row)
+            if eos in ids:
+                ids = ids[: ids.index(eos)]
+            outputs.append(self.tokenizer.decode(ids).strip())
+        return outputs
 
     @staticmethod
     def _sid(sample) -> str:
