@@ -31,6 +31,7 @@ class LlamaConfig:
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     weight_quant: bool = False  # int8 weights (serving; see ops/quantized_matmul)
+    fused_qkv: bool = False  # fuse q/k/v and gate/up projections (serving)
 
     @property
     def head_dim(self) -> int:

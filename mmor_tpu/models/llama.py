@@ -91,9 +91,19 @@ class LlamaBlock(nn.Module):
             )
         batch, seq, _ = x.shape
         h = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="attn_norm")(x)
-        q = dense(cfg.n_heads * cfg.head_dim, "q_proj")(h)
-        k = dense(cfg.n_kv_heads * cfg.head_dim, "k_proj")(h)
-        v = dense(cfg.n_kv_heads * cfg.head_dim, "v_proj")(h)
+        q_width = cfg.n_heads * cfg.head_dim
+        kv_width = cfg.n_kv_heads * cfg.head_dim
+        if cfg.fused_qkv:
+            # one weight stream instead of three — matvec decode is
+            # bandwidth-bound, and fewer/larger reads pipeline better
+            qkv = dense(q_width + 2 * kv_width, "qkv_proj")(h)
+            q = qkv[..., :q_width]
+            k = qkv[..., q_width : q_width + kv_width]
+            v = qkv[..., q_width + kv_width :]
+        else:
+            q = dense(q_width, "q_proj")(h)
+            k = dense(kv_width, "k_proj")(h)
+            v = dense(kv_width, "v_proj")(h)
         q = q.reshape(batch, seq, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(batch, seq, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(batch, seq, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -123,8 +133,12 @@ class LlamaBlock(nn.Module):
         x = x + dense(cfg.dim, "o_proj")(attn)
 
         h = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="mlp_norm")(x)
-        gate = dense(cfg.ffn_dim, "gate_proj")(h)
-        up = dense(cfg.ffn_dim, "up_proj")(h)
+        if cfg.fused_qkv:
+            gate_up = dense(2 * cfg.ffn_dim, "gate_up_proj")(h)
+            gate, up = gate_up[..., : cfg.ffn_dim], gate_up[..., cfg.ffn_dim :]
+        else:
+            gate = dense(cfg.ffn_dim, "gate_proj")(h)
+            up = dense(cfg.ffn_dim, "up_proj")(h)
         x = x + dense(cfg.dim, "down_proj")(nn.silu(gate) * up)
         return x, new_cache
 
@@ -304,17 +318,39 @@ def greedy_decode(
     return tokens
 
 
+def fuse_llama_params(params: dict) -> dict:
+    """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj kernels (for
+    ``fused_qkv=True``). Concatenation is along the output dim, matching the
+    block's slicing order (q | k | v, gate | up)."""
+    tree = jax.tree.map(lambda x: x, params)
+    inner = tree["params"] if "params" in tree else tree
+    blocks = inner["blocks"]
+    qkv = jnp.concatenate(
+        [blocks.pop(n)["kernel"] for n in ("q_proj", "k_proj", "v_proj")], axis=-1
+    )
+    blocks["qkv_proj"] = {"kernel": qkv}
+    gate_up = jnp.concatenate(
+        [blocks.pop(n)["kernel"] for n in ("gate_proj", "up_proj")], axis=-1
+    )
+    blocks["gate_up_proj"] = {"kernel": gate_up}
+    return tree
+
+
 def quantize_llama_params(params: dict) -> dict:
     """bf16/f32 LlamaModel params -> int8-quantized tree for weight_quant=True.
 
     Blocks' stacked (L, in, out) kernels quantize per layer; lm_head
-    quantizes whole; embeddings and norms stay as-is.
+    quantizes whole; embeddings and norms stay as-is. Handles both the split
+    and the fused (qkv_proj / gate_up_proj) projection layouts.
     """
     tree = jax.tree.map(lambda x: x, params)  # shallow copy
     inner = tree["params"] if "params" in tree else tree
     blocks = inner["blocks"]
-    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
-                 "gate_proj", "up_proj", "down_proj"):
+    proj_names = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                  "up_proj", "down_proj", "qkv_proj", "gate_up_proj")
+    for name in proj_names:
+        if name not in blocks:
+            continue
         kernel = blocks[name].pop("kernel")
         w_q, scale = jax.vmap(quantize_weights)(kernel)
         blocks[name] = {"w_q": w_q, "scale": scale}

@@ -147,3 +147,19 @@ def test_quantize_weights_roundtrip():
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
     out = int8_matmul(x, w_q, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x @ deq), atol=1e-3)
+
+
+def test_fused_qkv_matches_split(tiny_model):
+    import dataclasses
+
+    from mmor_tpu.models.llama import fuse_llama_params
+
+    cfg, model, params = tiny_model
+    fcfg = dataclasses.replace(cfg, fused_qkv=True)
+    fmodel = LlamaModel(fcfg)
+    fparams = fuse_llama_params(params)
+    ids = jax.random.randint(jax.random.PRNGKey(8), (2, 9), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    ref, _ = model.apply(params, input_ids=ids, attention_mask=mask)
+    fused, _ = fmodel.apply(fparams, input_ids=ids, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
