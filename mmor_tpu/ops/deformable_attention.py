@@ -61,13 +61,14 @@ def _sample_level(
         collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
+    sy, sx = min(2, h), min(2, w)  # degenerate 1-pixel levels shrink the window
     gather_one = lambda v, s: jax.lax.gather(
-        v, s, dnums, slice_sizes=(2, 2, d), mode="promise_in_bounds"
-    )  # (H, W, D), (K, 2) -> (K, 2, 2, D)
+        v, s, dnums, slice_sizes=(sy, sx, d), mode="promise_in_bounds"
+    )  # (H, W, D), (K, 2) -> (K, sy, sx, D)
     # keep the gather output in the value dtype (bf16 halves the dominant
     # HBM traffic of the op); the combine accumulates in f32
     windows = jax.vmap(jax.vmap(gather_one))(value_img, starts)
-    windows = windows.reshape(n, m, lq, points, 2, 2, d)
+    windows = windows.reshape(n, m, lq, points, sy, sx, d)
 
     # hat weights at the actual corner coordinates; OOB corners (coordinate
     # farther than 1 from the sample) get weight 0 == zero padding
@@ -81,7 +82,7 @@ def _sample_level(
         jnp.stack([wy0 * wx0, wy0 * wx1], axis=-1),
         jnp.stack([wy1 * wx0, wy1 * wx1], axis=-1),
     ], axis=-2)  # (N, Lq, M, P, 2, 2)
-    wgt = wgt.transpose(0, 2, 1, 3, 4, 5)  # (N, M, Lq, P, 2, 2)
+    wgt = wgt.transpose(0, 2, 1, 3, 4, 5)[..., :sy, :sx]  # (N, M, Lq, P, sy, sx)
 
     return jnp.einsum(
         "nmqpyxd,nmqpyx->nmqpd",
