@@ -62,8 +62,8 @@ def int8_matmul(
     scale: jax.Array,  # (N,) f32
     *,
     block_m: int = 128,
-    block_k: int = 512,
-    block_n: int = 512,
+    block_k: int = 2048,  # best measured on v5e-class HW (CLAUDE.md perf notes)
+    block_n: int = 1024,
 ) -> jax.Array:
     """x @ dequant(w_q) with per-channel scales -> (M, N) in x.dtype.
 

@@ -46,8 +46,48 @@ def main():
     want = mha_reference(q, k, v, segment_ids=seg)
     ok &= check("flash segment-ids", got, want, 8e-3)
 
+    ok &= extra_checks()
     print("ALL OK" if ok else "FAILURES")
     raise SystemExit(0 if ok else 1)
+
+
+
+def extra_checks():
+    """int8 matmul + deformable sampling numerics on the attached accelerator."""
+    import numpy as np
+    from mmor_tpu.ops.quantized_matmul import int8_matmul, quantize_weights
+    from mmor_tpu.ops.deformable_attention import ms_deform_attn
+
+    ok = True
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (512, 768))
+    w_q, scale = quantize_weights(w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 512), jnp.bfloat16)
+    got = int8_matmul(x, w_q, scale)
+    deq = w_q.astype(jnp.float32) * scale[None, :]
+    want = x.astype(jnp.float32) @ deq
+    rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)) / jnp.max(jnp.abs(want)))
+    status = "OK " if rel < 0.02 else "FAIL"
+    print(f"[{status}] int8_matmul W8A8: rel_err={rel:.4f}")
+    ok &= rel < 0.02
+
+    shapes = ((16, 24), (8, 12))
+    n, m, d, lq, p = 1, 4, 32, 64, 4
+    s = sum(h * w for h, w in shapes)
+    value = jax.random.normal(jax.random.PRNGKey(2), (n, s, m, d))
+    loc = jax.random.uniform(jax.random.PRNGKey(3), (n, lq, m, 2, p, 2),
+                             minval=-0.1, maxval=1.1)
+    attn = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(4), (n, lq, m, 2, p)).reshape(n, lq, m, -1), -1).reshape(n, lq, m, 2, p)
+    got = ms_deform_attn(value, shapes, loc, attn)
+    # CPU oracle via the same code path (gather lowering differs per backend)
+    cpu = jax.devices("cpu")[0] if any(d.platform == "cpu" for d in jax.devices("cpu")) else None
+    want = jax.device_get(jax.jit(lambda *a: ms_deform_attn(a[0], shapes, a[1], a[2]), backend="cpu")(value, loc, attn)) if cpu else got
+    err = float(jnp.max(jnp.abs(got - jnp.asarray(want))))
+    status = "OK " if err < 5e-3 else "FAIL"
+    print(f"[{status}] ms_deform_attn tpu-vs-cpu: max_abs_err={err:.2e}")
+    ok &= err < 5e-3
+    return ok
+
 
 if __name__ == "__main__":
     main()
