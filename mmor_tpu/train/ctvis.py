@@ -33,6 +33,7 @@ def ctvis_reid_loss(
     valid: jax.Array,  # (B, T, N) instance visible in that frame
     key: jax.Array,
     num_negatives: int = 8,
+    momentum: float | None = None,  # MOMENTUM_EMBED: EMA the positive bank
 ) -> dict[str, jax.Array]:
     b, t, q, c = embeds.shape
     n = assignment.shape[-1]
@@ -42,6 +43,22 @@ def ctvis_reid_loss(
     inst = jnp.take_along_axis(
         embeds, jnp.maximum(assignment, 0)[..., None], axis=2
     )
+
+    if momentum is not None:
+        # momentum memory bank (SimpleTrainMemory with momentum_embed=True):
+        # positives are EMA-smoothed per instance; frames where the instance
+        # is absent carry the previous bank value forward
+        def ema_step(prev, xs):
+            cur, ok = xs
+            new = momentum * prev + (1.0 - momentum) * cur
+            out = jnp.where(ok[..., None], new, prev)
+            return out, out
+
+        _, inst_ema = jax.lax.scan(
+            ema_step, inst[:, 0],
+            (inst.transpose(1, 0, 2, 3), valid.transpose(1, 0, 2)),
+        )
+        inst = inst_ema.transpose(1, 0, 2, 3)
 
     # negatives: num_negatives random queries per (frame, instance), avoiding
     # the instance's own query by index shifting

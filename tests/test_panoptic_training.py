@@ -93,3 +93,16 @@ def test_online_stage_with_segmenter_guided_matching(setup):
     step_fn, state, _ = make_panoptic_train_step(model, tcfg, params)
     state2, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_reid_momentum_option_runs():
+    b, t, q, c, n = 1, 3, 6, 8, 2
+    embeds = jax.random.normal(jax.random.PRNGKey(0), (b, t, q, c))
+    assignment = jnp.tile(jnp.array([[0, 1]], jnp.int32)[None], (1, t, 1))
+    valid = jnp.ones((b, t, n), bool).at[0, 1, 1].set(False)
+    out = ctvis_reid_loss(embeds, assignment, valid, jax.random.PRNGKey(1),
+                          num_negatives=3, momentum=0.75)
+    assert np.isfinite(float(out["loss_reid"]))
+    out2 = ctvis_reid_loss(embeds, assignment, valid, jax.random.PRNGKey(1),
+                           num_negatives=3)
+    assert float(out["loss_reid"]) != float(out2["loss_reid"])
