@@ -40,15 +40,17 @@ A100_REFERENCE_FPS = 0.93  # estimated reference throughput (see module docstrin
 def main():
     preset = os.environ.get("MMOR_TPU_BENCH_PRESET", "7b")
     quant = os.environ.get("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
-    default_batch = "8" if quant else "1"
+    default_batch = "14" if quant else "1"
     batch_size = int(os.environ.get("MMOR_TPU_BENCH_BATCH", default_batch))
     new_tokens = int(os.environ.get("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
     prompt_len = int(os.environ.get("MMOR_TPU_BENCH_PROMPT", "128"))
 
     cfg = _preset(preset)
     if quant:
+        # int8 weights (7.6 GB) + int8 KV cache: batch 14 fits on one chip
         cfg = dataclasses.replace(
-            cfg, llama=dataclasses.replace(cfg.llama, weight_quant=True)
+            cfg,
+            llama=dataclasses.replace(cfg.llama, weight_quant=True, kv_quant=True),
         )
     model = MM2SG(cfg)
     batch = _example_batch(cfg, batch=batch_size, prompt_len=prompt_len,
@@ -86,7 +88,7 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = batch_size * iters / elapsed
-    tag = "int8" if quant else "bf16"
+    tag = "int8wkv" if quant else "bf16"
     print(json.dumps({
         "metric": f"mm2sg_{preset}_{tag}_b{batch_size}_e2e_frames_per_sec_per_chip",
         "value": round(fps, 4),

@@ -32,6 +32,7 @@ class LlamaConfig:
     remat: bool = False
     weight_quant: bool = False  # int8 weights (serving; see ops/quantized_matmul)
     fused_qkv: bool = False  # fuse q/k/v and gate/up projections (serving)
+    kv_quant: bool = False  # int8 KV cache (serving; halves cache memory)
 
     @property
     def head_dim(self) -> int:

@@ -286,20 +286,32 @@ def decode_attention(
     kv_mask: jax.Array,
     *,
     sm_scale: float | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Single-position attention against a KV cache.
 
     q: (B, H, 1, D); caches: (B, H, T_max, D); kv_mask: (B, T_max) nonzero on
-    valid cache slots (left padding stays masked for the whole decode). A
-    matvec per head — XLA handles this well; kept as a distinct op so a Pallas
-    paged/decode kernel can slot in behind the same API.
+    valid cache slots (left padding stays masked for the whole decode). With
+    ``k_scale``/``v_scale`` (B, H, T_max, 1) the caches are int8 and
+    dequantize inside the contraction. A matvec per head — XLA handles this
+    well; kept as a distinct op so a Pallas paged/decode kernel can slot in
+    behind the same API.
     """
     head_dim = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(head_dim)
+    k = k_cache if k_scale is None else k_cache.astype(q.dtype)
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if k_scale is not None:
+        logits = logits * k_scale[..., 0][:, :, None, :]
     mask = kv_mask[:, None, None, :] != 0
     logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     weights = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v_cache.dtype), v_cache)
+    if v_scale is not None:
+        weights = weights * v_scale[..., 0][:, :, None, :]
+        v = v_cache.astype(q.dtype)
+    else:
+        v = v_cache
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)

@@ -163,3 +163,32 @@ def test_fused_qkv_matches_split(tiny_model):
     ref, _ = model.apply(params, input_ids=ids, attention_mask=mask)
     fused, _ = fmodel.apply(fparams, input_ids=ids, attention_mask=mask)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
+def test_kv_quant_decode_close_to_float(tiny_model):
+    import dataclasses
+
+    cfg, model, params = tiny_model
+    qcfg = dataclasses.replace(cfg, kv_quant=True)
+    qmodel = LlamaModel(qcfg)
+
+    total, prefix = 12, 8
+    ids = jax.random.randint(jax.random.PRNGKey(9), (2, total), 0, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    full_logits, _ = model.apply(params, input_ids=ids, attention_mask=mask)
+
+    pre_logits, kv = qmodel.apply(
+        params, input_ids=ids[:, :prefix], attention_mask=mask[:, :prefix]
+    )
+    cache = build_cache(qcfg, kv, mask[:, :prefix], max_len=32)
+    assert cache["k"].dtype == jnp.int8 and "k_s" in cache
+    for t in range(prefix, total):
+        step_logits, cache = qmodel.apply(
+            params, input_ids=ids[:, t : t + 1],
+            attention_mask=jnp.ones((2, 1), jnp.int32),
+            positions=cache["tok_pos"][:, None], cache=cache,
+        )
+        # int8 KV: argmax agreement and close probabilities
+        ref = jax.nn.softmax(full_logits[:, t], -1)
+        got = jax.nn.softmax(step_logits[:, 0], -1)
+        assert float(jnp.max(jnp.abs(ref - got))) < 0.05, t
