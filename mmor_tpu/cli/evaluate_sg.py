@@ -55,6 +55,8 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=0,
                    help="fabricate a synthetic dataset with N frames")
     p.add_argument("--output", default=None)
+    p.add_argument("--verbose", action="store_true",
+                   help="print the reference-style per-take tables")
     args = p.parse_args(argv)
 
     dataset = make_dataset(args)
@@ -85,6 +87,10 @@ def main(argv=None):
         return
 
     report, raw = run(args.checkpoint)
+    if args.verbose:
+        from mmor_tpu.eval.report_format import format_sg_report
+
+        print(format_sg_report(report))
     print(json.dumps(summarize(report), indent=2))
     if args.mode == "infer":
         out = Path(args.output or "scene_graph_predictions.json")

@@ -17,14 +17,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_CORNERS = (
-    (0, 0, lambda dx, dy: (1 - dx) * (1 - dy)),
-    (1, 0, lambda dx, dy: dx * (1 - dy)),
-    (0, 1, lambda dx, dy: (1 - dx) * dy),
-    (1, 1, lambda dx, dy: dx * dy),
-)
-
-
 def _sample_level(
     value_l: jax.Array,  # (N, M, H*W, D) one level, heads leading
     h: int,

@@ -105,3 +105,15 @@ def test_entity_detection_miss():
 def test_relation_names_layout():
     assert len(RELATION_NAMES) == 17
     assert RELATION_NAMES_LOWER[-1] == "none"
+
+
+def test_report_formatting():
+    from mmor_tpu.eval.report_format import format_sg_report
+
+    ev = SceneGraphEvaluator()
+    ev.add_sample("001_MMOR", "<SG> head surgeon,patient,cutting; </SG>",
+                  [["head_surgeon", "patient", "cutting"]])
+    text = format_sg_report(ev.report())
+    assert "Take 001_MMOR" in text
+    assert "Macro F1: 1.000" in text
+    assert "cutting" in text and "real macro" in text
