@@ -72,6 +72,7 @@ def init_params(cfg: MM2SGConfig, model: MM2SG):
 def build_predictor(
     preset: str, tokenizer, checkpoint: str | Path | None,
     temporality: str | None = None,
+    quantize: bool = False,
 ) -> SceneGraphPredictor:
     cfg = model_config(preset, tokenizer)
     model = MM2SG(cfg)
@@ -83,6 +84,19 @@ def build_predictor(
         params = restored.get("params_full", restored) if isinstance(restored, dict) else restored
         if "params" not in params:
             params = {"params": params}
+    if quantize:
+        # int8 decoder weights + int8 KV cache: the measured serving config
+        import dataclasses
+
+        from mmor_tpu.models.llama import quantize_llama_params
+
+        lm = params["params"]["language_model"]
+        params["params"]["language_model"] = quantize_llama_params(lm)
+        cfg = dataclasses.replace(
+            cfg,
+            llama=dataclasses.replace(cfg.llama, weight_quant=True, kv_quant=True),
+        )
+        model = MM2SG(cfg)
     return SceneGraphPredictor(
         cfg=cfg, model=model, params=params, tokenizer=tokenizer,
         temporality=temporality,

@@ -55,6 +55,8 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=0,
                    help="fabricate a synthetic dataset with N frames")
     p.add_argument("--output", default=None)
+    p.add_argument("--quantize", action="store_true",
+                   help="serve with int8 weights + int8 KV cache")
     p.add_argument("--verbose", action="store_true",
                    help="print the reference-style per-take tables")
     args = p.parse_args(argv)
@@ -64,7 +66,8 @@ def main(argv=None):
 
     def run(checkpoint):
         predictor = build_predictor(args.preset, tokenizer, checkpoint,
-                                    temporality=args.temporality)
+                                    temporality=args.temporality,
+                                    quantize=args.quantize)
         if args.temporality == "PRED":
             predictor.temporality = "PRED"
         items = [dataset[i] for i in range(len(dataset))]
