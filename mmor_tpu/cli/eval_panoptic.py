@@ -26,8 +26,14 @@ from mmor_tpu.models.segmenter import normalize_pixels
 from mmor_tpu.utils.checkpoint import restore_pytree
 
 
-def make_window_step(model: DVISPlus, params, window_size: int):
-    """jitted (frames (T,H,W,3), tracker state) -> frame-first outputs."""
+def make_window_step(model: DVISPlus, params, window_size: int,
+                     arch: str = "dvis"):
+    """jitted (frames (T,H,W,3), tracker state) -> frame-first outputs.
+
+    ``arch='dvis'`` runs the referring tracker (window-resumed state);
+    ``arch='minvis'`` returns per-frame segmenter outputs for post-hoc
+    cosine-Hungarian alignment (MinVIS, meta_architecture.py:258-305).
+    """
 
     @jax.jit
     def step(frames, state):
@@ -35,6 +41,12 @@ def make_window_step(model: DVISPlus, params, window_size: int):
         seg = model.apply(params, images, method=DVISPlus.segment_frames)
         t = window_size
         q, c = seg["pred_embds"].shape[1:]
+        if arch == "minvis":
+            return {
+                "pred_logits": seg["pred_logits"],  # (T, Q, K+1)
+                "pred_masks": seg["pred_masks"][:, :, 0],  # (T, Q, H, W)
+                "pred_embds": seg["pred_embds"],  # (T, Q, C)
+            }, state
         embds = seg["pred_embds"].reshape(1, t, q, c)
         norm = embds / (jnp.linalg.norm(embds, axis=-1, keepdims=True) + 1e-6)
         mf = seg["mask_features"]
@@ -56,11 +68,12 @@ def make_window_step(model: DVISPlus, params, window_size: int):
 
 
 def evaluate_videos(model, params, video_iter, cfg: DVISConfig,
-                    output_dir=None, num_workers: int = 0) -> dict:
+                    output_dir=None, num_workers: int = 0,
+                    arch: str = "dvis") -> dict:
     evaluator = VPSEvaluator(output_dir=output_dir)
     num_classes = cfg.segmenter.decoder.num_classes
     n_things = len(categories())  # all OR classes tracked as things
-    window_step = make_window_step(model, params, cfg.window_size)
+    window_step = make_window_step(model, params, cfg.window_size, arch=arch)
 
     from PIL import Image
 
@@ -70,10 +83,16 @@ def evaluate_videos(model, params, video_iter, cfg: DVISConfig,
             for f in record["file_names"]
         ])
         out = run_window_inference(window_step, frames, cfg.window_size)
-        # video-level logits: average across frames (MinVIS-style post proc
-        # keeps tracker-aligned query ids, so a plain mean is the analogue)
-        video_logits = out["pred_logits"].mean(axis=0)  # (Q, K+1)
-        pred_masks = out["pred_masks"].transpose(1, 0, 2, 3)  # (Q, T, H, W)
+        if arch == "minvis":
+            from mmor_tpu.eval.video_inference import minvis_post_process
+
+            video_logits, pred_masks = minvis_post_process(
+                out["pred_logits"], out["pred_masks"], out["pred_embds"]
+            )
+        else:
+            # tracker keeps query ids aligned, so a plain mean is the analogue
+            video_logits = out["pred_logits"].mean(axis=0)  # (Q, K+1)
+            pred_masks = out["pred_masks"].transpose(1, 0, 2, 3)  # (Q, T, H, W)
         # upsample to GT resolution
         gt = record["pan_seg"]
         if pred_masks.shape[-2:] != gt.shape[-2:]:
@@ -114,6 +133,7 @@ def main(argv=None):
     p.add_argument("--split", default="test")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--output_dir", default=None)
+    p.add_argument("--arch", choices=["dvis", "minvis"], default="dvis")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
@@ -138,7 +158,7 @@ def main(argv=None):
         videos = ds.video_records()
 
     result = evaluate_videos(model, params, videos, cfg,
-                             output_dir=args.output_dir)
+                             output_dir=args.output_dir, arch=args.arch)
     print(json.dumps({
         "vpq": result["vpq"], "stq": result["stq"],
         "vpq_per_window": {k: v["all"]["pq"] for k, v in result["per_window"].items()},
