@@ -345,3 +345,24 @@ class HybridPanopticDataset:
     def video_records(self):
         for part in self.parts:
             yield from part.video_records()
+
+
+def combined_records(datasets, ratios, rng=None):
+    """Ratio-weighted round-robin over multiple datasets' video records.
+
+    The reference's ``build_combined_loader``
+    (`dvis_Plus/data_video/combined_loader.py`) interleaves dataloaders with
+    per-dataset sampling ratios; this is the record-level equivalent used by
+    the hybrid training loop. Yields indefinitely.
+    """
+    import random as _random
+
+    rng = rng or _random.Random()
+    pools = [list(ds.video_records()) for ds in datasets]
+    weights = [r for r, pool in zip(ratios, pools) if pool]
+    pools = [pool for pool in pools if pool]
+    if not pools:
+        return
+    while True:
+        pool = rng.choices(pools, weights=weights, k=1)[0]
+        yield rng.choice(pool)

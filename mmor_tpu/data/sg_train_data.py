@@ -44,6 +44,7 @@ _SPAN_RE = {
 class SGTrainDataConfig:
     do_img_order_augment: bool = True
     do_multimodal_augment: bool = True
+    do_photometric_augment: bool = False  # TrivialAugment-style (train.py:693)
     multimodal_drop_prop: float = 0.5
     prompt_bucket: int = 512
 
@@ -100,7 +101,10 @@ class SGTrainDataset:
 
         for k, f in enumerate(image_files):
             try:
-                slots.append(pp.clip_preprocess(Image.open(f), size))
+                img = Image.open(f).convert("RGB")
+                if cfg.do_photometric_augment:
+                    img = photometric_augment(img, self.rng)
+                slots.append(pp.clip_preprocess(img, size))
             except OSError:
                 slots.append(pp.black_image(size))
             mask[k] = 1
@@ -204,3 +208,32 @@ class SGTrainDataset:
                     seg[k] = it["segmasks"]
             batch["segmasks"] = seg
         return batch
+
+
+def photometric_augment(img, rng: random.Random):
+    """TrivialAugment-style single-op photometric augmentation.
+
+    The reference optionally wraps samples in torchvision's
+    TrivialAugmentWide (`train.py:693-764`); this applies one randomly chosen
+    op at a random strength — the policy's core idea — using PIL only.
+    """
+    from PIL import ImageEnhance, ImageOps
+
+    op = rng.choice(["identity", "brightness", "contrast", "color",
+                     "sharpness", "posterize", "solarize", "equalize"])
+    strength = rng.random()
+    if op == "identity":
+        return img
+    if op == "brightness":
+        return ImageEnhance.Brightness(img).enhance(0.2 + 1.6 * strength)
+    if op == "contrast":
+        return ImageEnhance.Contrast(img).enhance(0.2 + 1.6 * strength)
+    if op == "color":
+        return ImageEnhance.Color(img).enhance(0.2 + 1.6 * strength)
+    if op == "sharpness":
+        return ImageEnhance.Sharpness(img).enhance(0.2 + 1.6 * strength)
+    if op == "posterize":
+        return ImageOps.posterize(img, 8 - int(strength * 6))
+    if op == "solarize":
+        return ImageOps.solarize(img, int(255 * (1 - strength)))
+    return ImageOps.equalize(img)

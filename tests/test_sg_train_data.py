@@ -98,3 +98,34 @@ def test_lora_overfit_step_on_real_pipeline(pipeline):
         state, metrics = step_fn(state, jbatch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_photometric_augment_preserves_shape():
+    from PIL import Image as PILImage
+
+    from mmor_tpu.data.sg_train_data import photometric_augment
+
+    img = PILImage.new("RGB", (32, 24), (100, 150, 200))
+    rng = random.Random(0)
+    for _ in range(16):  # cycle through the op pool
+        out = photometric_augment(img, rng)
+        assert out.size == img.size and out.mode == "RGB"
+
+
+def test_combined_records_ratio():
+    import random as _random
+
+    from mmor_tpu.data.panoptic import combined_records
+
+    class Fake:
+        def __init__(self, tag, n):
+            self._recs = [{"video_id": f"{tag}{i}"} for i in range(n)]
+
+        def video_records(self):
+            return iter(self._recs)
+
+    gen = combined_records([Fake("a", 3), Fake("b", 3)], [0.9, 0.1],
+                           rng=_random.Random(0))
+    tags = [next(gen)["video_id"][0] for _ in range(200)]
+    assert tags.count("a") > 150  # ratio-weighted
+    assert tags.count("b") > 0
