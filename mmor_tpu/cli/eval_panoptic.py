@@ -159,10 +159,22 @@ def main(argv=None):
 
     result = evaluate_videos(model, params, videos, cfg,
                              output_dir=args.output_dir, arch=args.arch)
-    print(json.dumps({
+    summary = {
         "vpq": result["vpq"], "stq": result["stq"],
-        "vpq_per_window": {k: v["all"]["pq"] for k, v in result["per_window"].items()},
-    }, indent=2))
+        "vpq_per_window": {str(k): v["all"]["pq"]
+                           for k, v in result["per_window"].items()},
+    }
+    if args.output_dir:
+        # per-class PQ/precision/recall dump (the reference's wandb surface,
+        # vps_eval.py:354-375)
+        from mmor_tpu.utils.logging import MetricsLogger
+
+        logger = MetricsLogger(args.output_dir, echo=False)
+        per_class = result["per_window"][max(result["per_window"])]["per_class"]
+        record = {f"pq_class_{c}": m["pq"] for c, m in per_class.items()}
+        record.update({f"vpq_w{k}": v for k, v in summary["vpq_per_window"].items()})
+        logger.log(0, vpq=result["vpq"], stq=result["stq"], **record)
+    print(json.dumps(summary, indent=2))
 
 
 def _synthetic_videos(h, w, cfg):
