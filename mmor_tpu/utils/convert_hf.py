@@ -26,6 +26,25 @@ def _t(w: np.ndarray) -> np.ndarray:
     return np.asarray(w).T
 
 
+def llama_config_from_hf(hf_config, **overrides) -> LlamaConfig:
+    """Derive our LlamaConfig from an HF LlamaConfig (dims, eps, rope theta) —
+    silent default mismatches (e.g. rms_norm_eps 1e-6 vs 1e-5) shift logits."""
+    base = dict(
+        vocab_size=hf_config.vocab_size,
+        dim=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=getattr(hf_config, "num_key_value_heads",
+                           hf_config.num_attention_heads),
+        ffn_dim=hf_config.intermediate_size,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        max_seq_len=hf_config.max_position_embeddings,
+        norm_eps=hf_config.rms_norm_eps,
+    )
+    base.update(overrides)
+    return LlamaConfig(**base)
+
+
 def convert_llama(sd: dict, cfg: LlamaConfig) -> dict:
     """HF LlamaForCausalLM state dict -> LlamaModel params['params']."""
     get = lambda k: np.asarray(sd[k])
