@@ -119,7 +119,11 @@ def loss_labels(cfg, outputs, targets, assignment, class_weights) -> jax.Array:
     logits = outputs["pred_logits"].astype(jnp.float32)  # (B, Q, K+1)
     b, q, _ = logits.shape
     target_classes = jnp.full((b, q), cfg.num_classes, jnp.int32)
-    safe_assign = jnp.where(targets["valid"], assignment, -1)
+    # invalid/unmatched targets scatter to index q, which mode="drop"
+    # discards (NOT -1: negative indices wrap in jax scatters even with drop)
+    safe_assign = jnp.where(
+        targets["valid"] & (assignment >= 0), assignment, q
+    )
     target_classes = target_classes.at[
         jnp.arange(b)[:, None], safe_assign
     ].set(targets["labels"], mode="drop")

@@ -130,3 +130,26 @@ def test_criterion_grads_flow():
     g = jax.grad(loss_fn)(out["pred_masks"])
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_loss_labels_padded_targets_do_not_corrupt_queries():
+    """Regression: assignment -1 must NOT wrap to the last query (negative
+    indices wrap in jax scatters even under mode='drop')."""
+    from mmor_tpu.train.criterion import build_class_weights, loss_labels
+
+    cfg = CriterionConfig.tiny()
+    b, q, n = 1, 4, 2
+    # strong no-object prediction on EVERY query
+    logits = jnp.full((b, q, cfg.num_classes + 1), -6.0)
+    logits = logits.at[..., cfg.num_classes].set(6.0)
+    outputs = {"pred_logits": logits}
+    targets = {
+        "labels": jnp.array([[3, 0]], jnp.int32),  # padded label is class 0
+        "valid": jnp.array([[False, False]]),  # no real targets at all
+    }
+    assignment = jnp.array([[-1, -1]], jnp.int32)
+    w = build_class_weights(cfg)
+    loss = loss_labels(cfg, outputs, targets, assignment, w)
+    # with no valid targets every query should be supervised as no-object:
+    # loss must be tiny; a wrapped scatter would label query 3 as class 0
+    assert float(loss) < 0.01, float(loss)
