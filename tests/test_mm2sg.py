@@ -152,3 +152,29 @@ def test_raw_pointcloud_path(tiny):
         batch["view_mask"], pc_points=pts, pc_valid=pc_valid,
     )
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_quantized_serving_path(tiny):
+    """int8 weights + int8 KV generate runs and closely tracks the float path."""
+    import dataclasses
+
+    from mmor_tpu.models.llama import quantize_llama_params
+
+    cfg, model, params, batch = tiny
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant=True, kv_quant=True)
+    )
+    qmodel = MM2SG(qcfg)
+    qparams = {"params": dict(params["params"])}
+    qparams["params"]["language_model"] = quantize_llama_params(
+        params["params"]["language_model"]
+    )
+    out_q = generate(qmodel, qparams, batch, max_cache_len=64, max_new_tokens=5,
+                     eos_token_id=2)
+    out_f = generate(model, params, batch, max_cache_len=64, max_new_tokens=5,
+                     eos_token_id=2)
+    assert out_q.shape == out_f.shape == (2, 5)
+    # deterministic
+    out_q2 = generate(qmodel, qparams, batch, max_cache_len=64, max_new_tokens=5,
+                      eos_token_id=2)
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_q2))
