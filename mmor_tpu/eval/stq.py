@@ -55,6 +55,14 @@ def stq(
     overlaps: dict = defaultdict(int)
     for (gt_sem, gt_inst), (pr_sem, pr_inst) in zip(gt_frames, pred_frames):
         valid = gt_sem != ignore_label
+        # packing invariants (the reference validates its offset against
+        # num_classes * max_instances_per_category the same way): instance
+        # ids must fit in the 1e6 slot and packed keys in the 1e10 slot,
+        # otherwise distinct tracks would silently collide.
+        if gt_inst.size and int(max(gt_inst.max(), pr_inst.max())) >= 1_000_000:
+            raise ValueError("instance ids must be < 1_000_000 for STQ packing")
+        if num_classes * 1_000_000 >= 10_000_000_000:
+            raise ValueError("num_classes too large for STQ pair packing")
         gt_key = gt_sem.astype(np.int64) * 1_000_000 + gt_inst.astype(np.int64)
         pr_key = pr_sem.astype(np.int64) * 1_000_000 + pr_inst.astype(np.int64)
         for k, c in zip(*np.unique(gt_key[valid], return_counts=True)):

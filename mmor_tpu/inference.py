@@ -165,6 +165,8 @@ class SceneGraphPredictor:
             )
             log = [e for e in log if e[0] < timepoint]
             memory = change_log_to_memory_str(log, timepoint, style="longshort")
+            # (the 5000-char '...' clamp quirk is applied inside
+            # build_sg_prompt — scene_graph_prediction_model.py:192-194)
         return build_sg_prompt(
             robot_metadata_str=robot,
             tracker_metadata_str=tracker,

@@ -227,6 +227,8 @@ def generate(
         pc_feature=batch.get("pc_feature"),
         audio_embedding=batch.get("audio_embedding"),
         segmasks=batch.get("segmasks"),
+        pc_points=batch.get("pc_points"),
+        pc_valid=batch.get("pc_valid"),
         return_cache=True,
         last_logit_only=True,  # prefill only needs the next-token logits
     )

@@ -42,11 +42,13 @@ def _path_str(path) -> str:
 
 
 def is_lora_target(cfg: LoraConfig, path_str: str, leaf) -> bool:
-    """2D 'kernel' leaves inside included subtrees (the reference targets all
-    linear layers of the decoder)."""
+    """'kernel' leaves inside included subtrees (the reference targets all
+    linear layers of the decoder). 2-D kernels are plain Dense layers;
+    3-D (L, in, out) kernels are the nn.scan-stacked decoder blocks, which
+    get per-layer factors."""
     if not path_str.endswith("kernel"):
         return False
-    if getattr(leaf, "ndim", 0) != 2:
+    if getattr(leaf, "ndim", 0) not in (2, 3):
         return False
     if not any(s in path_str for s in cfg.include):
         return False
@@ -54,8 +56,12 @@ def is_lora_target(cfg: LoraConfig, path_str: str, leaf) -> bool:
 
 
 def init_lora_params(cfg: LoraConfig, params, key: jax.Array):
-    """A/B factors for every target kernel: A ~ N(0, 0.01) (r, in),
-    B = 0 (out, r) — standard LoRA init (B zero => identity at step 0)."""
+    """A/B factors for every target kernel: A ~ N(0, 0.01), B = 0 — standard
+    LoRA init (B zero => identity at step 0).
+
+    2-D kernel (in, out)    -> a: (r, in),    b: (out, r)
+    3-D kernel (L, in, out) -> a: (L, r, in), b: (L, out, r)  (per-layer)
+    """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     lora = {}
     for path, leaf in flat:
@@ -63,22 +69,35 @@ def init_lora_params(cfg: LoraConfig, params, key: jax.Array):
         if not is_lora_target(cfg, ps, leaf):
             continue
         key, k_a = jax.random.split(key)
-        d_in, d_out = leaf.shape
+        if leaf.ndim == 2:
+            d_in, d_out = leaf.shape
+            a_shape, b_shape = (cfg.rank, d_in), (d_out, cfg.rank)
+        else:
+            n_layers, d_in, d_out = leaf.shape
+            a_shape = (n_layers, cfg.rank, d_in)
+            b_shape = (n_layers, d_out, cfg.rank)
         lora[ps] = {
-            "a": jax.random.normal(k_a, (cfg.rank, d_in), jnp.float32) * 0.01,
-            "b": jnp.zeros((d_out, cfg.rank), jnp.float32),
+            "a": jax.random.normal(k_a, a_shape, jnp.float32) * 0.01,
+            "b": jnp.zeros(b_shape, jnp.float32),
         }
     return lora
 
 
+def _delta(ab) -> jax.Array:
+    a, b = ab["a"], ab["b"]
+    if a.ndim == 2:  # (r, in) x (out, r) -> (in, out)
+        return a.T @ b.T
+    # stacked: (L, r, in) x (L, out, r) -> (L, in, out)
+    return jnp.einsum("lri,lor->lio", a, b)
+
+
 def apply_lora(cfg: LoraConfig, params, lora_params):
-    """Materialize effective weights: kernel + scale * (A^T @ B^T)."""
+    """Materialize effective weights: kernel + scale * (B @ A) per target."""
 
     def update(path, leaf):
         ps = _path_str(path)
         if ps in lora_params:
-            ab = lora_params[ps]
-            delta = (ab["a"].T @ ab["b"].T) * cfg.scale  # (in, out)
+            delta = _delta(lora_params[ps]) * cfg.scale
             return (leaf.astype(jnp.float32) + delta).astype(leaf.dtype)
         return leaf
 

@@ -74,6 +74,8 @@ def train_step(model: MM2SG, tx, state, batch, vocab_weights=None):
             pc_feature=batch.get("pc_feature"),
             audio_embedding=batch.get("audio_embedding"),
             segmasks=batch.get("segmasks"),
+            pc_points=batch.get("pc_points"),
+            pc_valid=batch.get("pc_valid"),
             labels=batch["labels"],
         )
         return token_weighted_ce(logits, labels, vocab_weights)

@@ -71,6 +71,74 @@ def test_validate_produces_report(synthetic, predictor):
     assert set(report["datatypes"]) <= {"MMOR", "4DOR"}
 
 
+def test_pointcloud_reaches_generation(synthetic, predictor):
+    """The serving path must thread pc_points/pc_valid into generate():
+    the round-1 bug dropped them, so the PC modality was silently ignored
+    (ADVICE high #2). Logits for a batch with a real cloud must differ from
+    the same batch with the cloud removed."""
+    ds = ORDataset(split="test", data_path=synthetic["data_path"],
+                   mmor_root=synthetic["mmor_root"], or4d_root=synthetic["or4d_root"])
+    item = next(ds[i] for i in range(len(ds))
+                if "MMOR" in ds.samples[i]["take_name"])
+    assert item["multimodal_data"].get("pc"), "synthetic MMOR item must carry a pc"
+    batch = predictor.build_batch([item])
+    assert "pc_points" in batch and "pc_valid" in batch
+    import jax.numpy as jnp
+
+    with_pc = np.asarray(predictor._generate(predictor.params, batch))
+    nul = dict(batch)
+    nul["pc_points"] = jnp.zeros_like(batch["pc_points"])
+    nul["pc_valid"] = jnp.zeros_like(batch["pc_valid"])
+    without_pc = np.asarray(predictor._generate(predictor.params, nul))
+    # compare prefill logits instead of argmax tokens (argmax can coincide)
+    from mmor_tpu.models import mm2sg as mm
+
+    l1, _, _ = predictor.model.apply(
+        predictor.params, batch["input_ids"], batch["attention_mask"],
+        batch["images"], batch["view_mask"],
+        audio_embedding=batch.get("audio_embedding"),
+        pc_points=batch["pc_points"], pc_valid=batch["pc_valid"],
+        last_logit_only=True,
+    )
+    l0, _, _ = predictor.model.apply(
+        predictor.params, batch["input_ids"], batch["attention_mask"],
+        batch["images"], batch["view_mask"],
+        audio_embedding=batch.get("audio_embedding"),
+        pc_points=nul["pc_points"], pc_valid=nul["pc_valid"],
+        last_logit_only=True,
+    )
+    assert float(jnp.max(jnp.abs(l1 - l0))) > 1e-6, (
+        "point cloud does not influence generation"
+    )
+    assert with_pc.shape == without_pc.shape
+
+
+def test_memory_string_clamped_to_5000_chars(predictor):
+    """Quirk parity: memory strings clamp to '...' + last 5000 chars
+    (scene_graph_prediction_model.py:192-194)."""
+    predictor.temporality = "PRED"
+    predictor.take_to_history.clear()
+    history = predictor.take_to_history["999_MMOR"]
+    for t in range(400):
+        history.append({
+            "timepoint_idx": t,
+            "scene_graph": [[f"instrument_{t:04d}", "patient", "touching"]],
+        })
+    item = {
+        "sample": {"take_name": "999_MMOR", "frame_id": "400",
+                   "relationships": []},
+        "multimodal_data": {},
+    }
+    prompt = predictor._prompt_for(item)
+    start = prompt.index("<memory_start>")
+    end = prompt.index("<memory_end>")
+    mem = prompt[start + len("<memory_start>: "):end]
+    assert len(mem) <= 5003  # '...' + 5000
+    assert mem.startswith("...")
+    predictor.temporality = None
+    predictor.take_to_history.clear()
+
+
 def test_temporal_pred_mode_builds_history(synthetic, predictor):
     ds = ORDataset(split="test", data_path=synthetic["data_path"],
                    mmor_root=synthetic["mmor_root"], or4d_root=synthetic["or4d_root"])

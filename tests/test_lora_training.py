@@ -53,6 +53,15 @@ def test_lora_identity_at_init(setup):
     assert count_lora_params(lora) > 0
     assert all("language_model" in k for k in lora)
     assert not any("embed_tokens" in k for k in lora)
+    # the nn.scan-stacked decoder linears must be covered, not just lm_head
+    # (reference PEFT targets every decoder linear, train.py:187-200)
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"):
+        assert any(f"blocks/{proj}" in k for k in lora), proj
+    stacked = lora["params/language_model/blocks/q_proj/kernel"]
+    n_layers = cfg.llama.n_layers
+    assert stacked["a"].shape == (n_layers, lcfg.rank, cfg.llama.dim)
+    assert stacked["b"].shape == (n_layers, cfg.llama.dim, lcfg.rank)
     eff = apply_lora(lcfg, params, lora)
     logits0, _, _ = model.apply(params, batch["input_ids"], batch["attention_mask"],
                                 batch["images"], batch["view_mask"])
@@ -84,13 +93,20 @@ def test_lora_training_decreases_loss_and_freezes_base(setup):
         for k in state["trainable"]
     )
     assert moved
-    # merged weights differ from the originals after training
+    # merged weights differ from the originals after training — including the
+    # stacked decoder kernels (the round-1 bug trained only lm_head)
     merged = merge_lora(lcfg, params, state["lora"])
-    diffs = jax.tree.map(
-        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
-        params, merged,
-    )
-    assert max(jax.tree.leaves(diffs)) > 0
+    q_before = params["params"]["language_model"]["blocks"]["q_proj"]["kernel"]
+    q_after = merged["params"]["language_model"]["blocks"]["q_proj"]["kernel"]
+    assert float(jnp.max(jnp.abs(
+        q_after.astype(jnp.float32) - q_before.astype(jnp.float32)
+    ))) > 0, "stacked decoder kernels did not receive LoRA updates"
+    # and decoder outputs actually change
+    logits0, _, _ = model.apply(params, batch["input_ids"], batch["attention_mask"],
+                                batch["images"], batch["view_mask"])
+    logits1, _, _ = model.apply(merged, batch["input_ids"], batch["attention_mask"],
+                                batch["images"], batch["view_mask"])
+    assert float(jnp.max(jnp.abs(logits0 - logits1))) > 1e-6
 
 
 def test_checkpoint_roundtrip(tmp_path, setup):
