@@ -81,6 +81,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
             n, h, w, _ = f.shape
             proj = nn.Conv(self.conv_dim, (1, 1), dtype=self.dtype,
                            param_dtype=self.param_dtype, name=f"input_proj_{name}")(f)
+            # reference input_proj is Conv2d + GroupNorm(32) (msdeformattn.py:214-217)
+            proj = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name=f"input_proj_{name}_norm")(proj)
             srcs.append(proj.reshape(n, h * w, self.conv_dim))
             shapes.append((h, w))
             pos_list.append(

@@ -54,8 +54,11 @@ class Bottleneck(nn.Module):
 
         h = nn.relu(bn(self.bottleneck_channels, "bn1")(
             conv(self.bottleneck_channels, 1, 1, "conv1")(x)))
+        # explicit (1,1) padding: torch pads symmetrically at stride 2, while
+        # flax "SAME" would pad (0,1) — one-pixel window shift
         h = nn.relu(bn(self.bottleneck_channels, "bn2")(
-            conv(self.bottleneck_channels, 3, self.stride, "conv2")(h)))
+            conv(self.bottleneck_channels, 3, self.stride, "conv2",
+                 pad=((1, 1), (1, 1)))(h)))
         h = bn(self.out_channels, "bn3")(conv(self.out_channels, 1, 1, "conv3")(h))
         return nn.relu(h + shortcut)
 
