@@ -158,19 +158,20 @@ def export_take_audio_crops(
 
 
 def export_audio_embeddings(
-    crop_dir: Path, out_dir: Path, embed_fn=None
+    crop_dir: Path, out_dir: Path, embed_fn=None, pattern: str = "*.mp3"
 ) -> None:
-    """CLAP-style 512-d embedding per crop. ``embed_fn(path) -> np.ndarray``
-    is pluggable (the reference uses HF ClapModel 'laion/larger_clap_general',
+    """CLAP 512-d embedding per crop. ``embed_fn(path) -> np.ndarray`` is the
+    embedder — ``data.clap.ClapEmbedder`` is the concrete HF ClapModel path
+    matching the reference ('laion/larger_clap_general',
     create_take_sample_audio_embeddings.py:13-60); artifacts are raw numpy
     blobs saved under the reference's ``.pt`` name."""
     if embed_fn is None:
-        raise RuntimeError(
-            "provide embed_fn (e.g. a CLAP model wrapper); no default model is bundled"
-        )
+        from mmor_tpu.data.clap import ClapEmbedder
+
+        embed_fn = ClapEmbedder()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    for crop in sorted(Path(crop_dir).glob("*.mp3")):
+    for crop in sorted(Path(crop_dir).glob(pattern)):
         emb = np.asarray(embed_fn(crop), dtype=np.float32).reshape(-1)
         with open(out_dir / f"{crop.stem.lstrip('0') or '0'}.pt", "wb") as f:
             np.save(f, emb)
