@@ -64,13 +64,66 @@ class PanopticTrainConfig:
     learning_rate: float = 1e-4  # AdamW, CTVIS_r50.yaml
     weight_decay: float = 0.05
     grad_clip: float = 0.01  # detectron2 full-model clip value
+    backbone_multiplier: float = 0.1  # SOLVER.BACKBONE_MULTIPLIER
+    weight_decay_norm: float = 0.0  # SOLVER.WEIGHT_DECAY_NORM
+    weight_decay_embed: float = 0.0  # SOLVER.WEIGHT_DECAY_EMBED
+
+
+_EMBED_PARAMS = ("query_feat", "query_embed", "level_embed", "rel_pos_bias")
+# norm-module name fragments (LayerNorm/GroupNorm/Swin LN); FrozenBN is
+# separate — its affine params are buffers in detectron2, never optimized
+_NORM_PAT = ("norm", "ln1", "ln2")
+_FROZEN_BN = ("stem_bn", "bn1", "bn2", "bn3", "shortcut_bn")
+
+
+def _ppath(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def panoptic_param_labels(params):
+    """detectron2 optimizer groups (`train_net_video.py:181-260`):
+
+    - backbone params get lr x BACKBONE_MULTIPLIER, combined with the decay
+      overrides (norm modules -> WEIGHT_DECAY_NORM, Embedding-style params +
+      relative-position-bias tables -> WEIGHT_DECAY_EMBED);
+    - ResNet FrozenBN affine params are buffers in detectron2 (never in the
+      optimizer) -> label 'frozen', updates zeroed.
+    """
+    def label(path, _):
+        p = _ppath(path)
+        leaf = p.rsplit("/", 1)[-1]
+        parent = p.rsplit("/", 2)[-2] if "/" in p else ""
+        bb = "backbone" in p
+        if bb and any(parent.endswith(tag) for tag in _FROZEN_BN):
+            return "frozen"
+        if leaf in _EMBED_PARAMS:
+            kind = "embed"
+        elif any(tag in parent for tag in _NORM_PAT):
+            kind = "norm"
+        else:
+            kind = "base"
+        return f"bb_{kind}" if bb else kind
+    return jax.tree_util.tree_map_with_path(label, params)
 
 
 def make_panoptic_optimizer(cfg: PanopticTrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+    adamw = lambda lr, wd: optax.adamw(lr, weight_decay=wd)
+    lr, bb_lr = cfg.learning_rate, cfg.learning_rate * cfg.backbone_multiplier
+    groups = optax.multi_transform(
+        {
+            "base": adamw(lr, cfg.weight_decay),
+            "norm": adamw(lr, cfg.weight_decay_norm),
+            "embed": adamw(lr, cfg.weight_decay_embed),
+            "bb_base": adamw(bb_lr, cfg.weight_decay),
+            "bb_norm": adamw(bb_lr, cfg.weight_decay_norm),
+            "bb_embed": adamw(bb_lr, cfg.weight_decay_embed),
+            "frozen": optax.set_to_zero(),
+        },
+        panoptic_param_labels,
     )
+    # full-model gradient clip BEFORE the groups, matching the reference's
+    # FullModelGradientClippingOptimizer (clip over all params jointly)
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), groups)
 
 
 def _fold_time(targets):

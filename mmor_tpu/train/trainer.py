@@ -34,19 +34,58 @@ class TrainConfig:
     b2: float = 0.999
     grad_clip: float = 1.0
     grad_accum: int = 1  # README: per-device batch 4 x grad_accum 4
+    # separate LR for the multimodal projector, as in the reference's
+    # optimizer groups (llava_trainer.py:191-278); None = single group
+    mm_projector_lr: float | None = None
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def hf_decay_mask(params) -> Any:
+    """HF Trainer semantics (llava_trainer.py:191-278 via
+    get_decay_parameter_names): weight decay applies to everything except
+    biases and norm parameters."""
+    def ok(path, _):
+        p = _path_str(path)
+        leaf = p.rsplit("/", 1)[-1]
+        if leaf == "bias":
+            return False
+        if leaf == "scale" and "norm" in p.lower():
+            return False
+        return True
+    return jax.tree_util.tree_map_with_path(ok, params)
+
+
+def mm_projector_labels(params) -> Any:
+    """'proj' for mm_projector params, 'base' otherwise (the reference's
+    mm_projector_lr group selects names containing 'mm_projector')."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "proj" if "mm_projector" in _path_str(path) else "base",
+        params,
+    )
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
-        peak_value=cfg.learning_rate,
-        warmup_steps=max(1, int(cfg.total_steps * cfg.warmup_ratio)),
-        decay_steps=cfg.total_steps,
-    )
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay),
-    )
+    def adamw(lr_peak):
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr_peak,
+            warmup_steps=max(1, int(cfg.total_steps * cfg.warmup_ratio)),
+            decay_steps=cfg.total_steps,
+        )
+        return optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2,
+                           weight_decay=cfg.weight_decay, mask=hf_decay_mask)
+
+    if cfg.mm_projector_lr is not None:
+        inner = optax.multi_transform(
+            {"base": adamw(cfg.learning_rate), "proj": adamw(cfg.mm_projector_lr)},
+            mm_projector_labels,
+        )
+    else:
+        inner = adamw(cfg.learning_rate)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
     if cfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
