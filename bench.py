@@ -46,20 +46,30 @@ def main():
     prompt_len = int(os.environ.get("MMOR_TPU_BENCH_PROMPT", "128"))
 
     cfg = _preset(preset)
+    fused = os.environ.get("MMOR_TPU_BENCH_FUSED", "1") == "1"
     if quant:
-        # int8 weights (7.6 GB) + int8 KV cache: batch 14 fits on one chip
+        # packed-int8 weights (6.7 GB) + packed-int8 KV cache; fused qkv /
+        # gate-up halves the kernel count per layer — decode is per-kernel-
+        # overhead bound on this chip (~0.15-0.25 ms/call), not bandwidth
         cfg = dataclasses.replace(
             cfg,
-            llama=dataclasses.replace(cfg.llama, weight_quant=True, kv_quant=True),
+            llama=dataclasses.replace(cfg.llama, weight_quant=True,
+                                      kv_quant=True, fused_qkv=fused),
         )
+    # raw uint8 frames at native camera resolution, preprocessed on device
+    # inside the jit'd generate (BASELINE fused-preprocessing requirement)
+    raw = os.environ.get("MMOR_TPU_BENCH_RAW", "1") == "1"
     model = MM2SG(cfg)
     batch = _example_batch(cfg, batch=batch_size, prompt_len=prompt_len,
-                           key=jax.random.PRNGKey(0))
+                           key=jax.random.PRNGKey(0), raw_views=raw)
 
+    size = cfg.vision.image_size
+    init_images = jnp.zeros(
+        (batch_size, cfg.pooler.max_views, size, size, 3), jnp.bfloat16)
     shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(1), batch["input_ids"], batch["attention_mask"],
-            batch["images"], batch["view_mask"], pc_feature=batch["pc_feature"],
+            init_images, batch["view_mask"], pc_feature=batch["pc_feature"],
             audio_embedding=batch["audio_embedding"], segmasks=batch["segmasks"],
         )
     )
@@ -71,12 +81,29 @@ def main():
     cache_len = prompt_len + cfg.num_multimodal_tokens - 1 + new_tokens
     cache_len = -(-cache_len // 128) * 128  # round up for tiling
 
-    run = jax.jit(
-        lambda p, b: generate(
+    # stepwise = jitted prefill + host-driven donated-cache decode steps;
+    # the axon AOT compile copies while_loop cache carries every token, so
+    # the fused whileloop path pays ~4 full-cache copies/token (see
+    # models/llama.py::make_decode_step)
+    mode = os.environ.get("MMOR_TPU_BENCH_MODE", "stepwise")
+    if mode == "stepwise":
+        from mmor_tpu.models.llama import LlamaModel, make_decode_step
+        from mmor_tpu.models.mm2sg import generate_stepwise, make_prefill
+
+        prefill = make_prefill(model, max_cache_len=cache_len)
+        lm_step = make_decode_step(LlamaModel(cfg.llama))
+        run = lambda p, b: generate_stepwise(
             model, p, b, max_cache_len=cache_len,
             max_new_tokens=new_tokens, eos_token_id=-1,
+            prefill_fn=prefill, step_fn=lm_step,
         )
-    )
+    else:
+        run = jax.jit(
+            lambda p, b: generate(
+                model, p, b, max_cache_len=cache_len,
+                max_new_tokens=new_tokens, eos_token_id=-1,
+            )
+        )
     # force device->host transfers for sync: block_until_ready is unreliable
     # through the experimental axon tunnel
     np.asarray(run(params, batch))  # compile + warmup
@@ -89,6 +116,8 @@ def main():
 
     fps = batch_size * iters / elapsed
     tag = "int8wkv" if quant else "bf16"
+    if raw:
+        tag += "_rawin"  # uint8 native-res frames, on-device preprocessing
     print(json.dumps({
         "metric": f"mm2sg_{preset}_{tag}_b{batch_size}_e2e_frames_per_sec_per_chip",
         "value": round(fps, 4),

@@ -31,6 +31,7 @@ class LlamaConfig:
     param_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     weight_quant: bool = False  # int8 weights (serving; see ops/quantized_matmul)
+    quant_int8_mxu: bool = True  # int8xint8 MXU path (vs bf16-dequant MXU)
     fused_qkv: bool = False  # fuse q/k/v and gate/up projections (serving)
     kv_quant: bool = False  # int8 KV cache (serving; halves cache memory)
 

@@ -68,6 +68,10 @@ class SceneGraphPredictor:
     cameras_4dor: tuple[int, ...] = (2, 1, 3, 5)
     temporality: str | None = None  # None | 'PRED'
     prompt_bucket: int = 128
+    # ship raw uint8 frames to the device and fuse pad/resize/normalize into
+    # the jit'd generate graph (BASELINE fused-preprocessing; False = legacy
+    # host-side PIL path)
+    fused_preproc: bool = True
     take_to_history: dict = field(default_factory=lambda: defaultdict(list))
 
     def __post_init__(self):
@@ -90,21 +94,31 @@ class SceneGraphPredictor:
     # batch assembly
     # ---------------------------------------------------------------- #
 
-    def _images_for(self, item) -> tuple[np.ndarray, np.ndarray]:
-        """-> ((V, H, W, 3) float32, (V,) int32 view mask)."""
+    def _images_for(self, item) -> tuple[list[np.ndarray], np.ndarray]:
+        """-> (V per-slot arrays, (V,) int32 view mask).
+
+        Fused mode: slots are native-resolution uint8 frames (JPEG decode is
+        the only host work; square-pad/resize/normalize run on device inside
+        the jit'd generate). Legacy mode: host PIL clip_preprocess floats.
+        """
         cfg = self.cfg
         size = cfg.vision.image_size
         md = item["multimodal_data"]
         sample = item["sample"]
         slots: list[np.ndarray] = []
+        black = (np.zeros((8, 8, 3), np.uint8) if self.fused_preproc
+                 else pp.black_image(size))
 
         def load(path):
             from PIL import Image
 
             try:
-                return pp.clip_preprocess(Image.open(path), size)
+                img = Image.open(path)
+                if self.fused_preproc:
+                    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+                return pp.clip_preprocess(img, size)
             except OSError:
-                return pp.black_image(size)
+                return black
 
         if "4DOR" in sample["take_name"]:
             azure = md.get("azure", [])
@@ -112,24 +126,22 @@ class SceneGraphPredictor:
                 if cam - 1 < len(azure):
                     slots.append(load(azure[cam - 1]))
                 else:
-                    slots.append(pp.black_image(size))
+                    slots.append(black)
         else:
             azure = md.get("azure", [])
             simstation = md.get("simstation", [])
             if azure:
                 for cam in self.cameras_mmor:
                     slots.append(
-                        load(azure[cam - 1]) if cam - 1 < len(azure)
-                        else pp.black_image(size)
+                        load(azure[cam - 1]) if cam - 1 < len(azure) else black
                     )
             elif simstation:
                 for cam in (2, 0, 3):
                     slots.append(
-                        load(simstation[cam]) if cam < len(simstation)
-                        else pp.black_image(size)
+                        load(simstation[cam]) if cam < len(simstation) else black
                     )
             else:
-                slots.extend(pp.black_image(size) for _ in self.cameras_mmor)
+                slots.extend(black for _ in self.cameras_mmor)
             if len(simstation) > 1:
                 slots.append(load(simstation[1]))  # robot screen
             if md.get("trackercam"):
@@ -140,8 +152,9 @@ class SceneGraphPredictor:
         mask = np.zeros((v,), np.int32)
         mask[: len(slots)] = 1
         while len(slots) < v:
-            slots.append(np.zeros((size, size, 3), np.float32))
-        return np.stack(slots), mask
+            slots.append(black if self.fused_preproc
+                         else np.zeros((size, size, 3), np.float32))
+        return slots, mask
 
     def _prompt_for(self, item) -> str:
         md = item["multimodal_data"]
@@ -216,14 +229,47 @@ class SceneGraphPredictor:
         batch = {
             "input_ids": jnp.asarray(ids),
             "attention_mask": jnp.asarray(mask),
-            "images": jnp.asarray(np.stack(images)),
             "view_mask": jnp.asarray(np.stack(view_masks)),
             "audio_embedding": jnp.asarray(np.stack(audios)),
         }
+        if self.fused_preproc:
+            batch["raw_views"] = self._stack_raw_views(images)
+        else:
+            batch["images"] = jnp.asarray(
+                np.stack([np.stack(slots) for slots in images]))
         if has_pc:
             batch["pc_points"] = jnp.asarray(np.stack(pcs))
             batch["pc_valid"] = jnp.asarray(np.stack(pc_valids))
         return batch
+
+    def _stack_raw_views(self, images: list[list[np.ndarray]]):
+        """Per-slot (B, h_v, w_v, 3) uint8 stacks for the on-device
+        preprocessing path. Camera resolutions are consistent per slot within
+        a dataset; a stray mismatching frame is host-resized to the slot's
+        shape (rare fallback, keeps the batch static)."""
+        v = self.cfg.pooler.max_views
+        out = []
+        for slot in range(v):
+            frames = [item_slots[slot] for item_slots in images]
+            target = next(
+                (f.shape for f in frames if f.shape != (8, 8, 3)),
+                frames[0].shape,
+            )
+            fixed = []
+            for f in frames:
+                if f.shape != target:
+                    if f.max() == 0:  # black placeholder: any size works
+                        f = np.zeros(target, np.uint8)
+                    else:
+                        from PIL import Image
+
+                        f = np.asarray(
+                            Image.fromarray(f).resize(
+                                (target[1], target[0]), Image.BICUBIC),
+                            dtype=np.uint8)
+                fixed.append(f)
+            out.append(jnp.asarray(np.stack(fixed)))
+        return tuple(out)
 
     # ---------------------------------------------------------------- #
     # prediction / evaluation

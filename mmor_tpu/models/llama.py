@@ -20,10 +20,20 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mmor_tpu.config import LlamaConfig
-from mmor_tpu.ops.attention import decode_attention, flash_attention
-from mmor_tpu.ops.quantized_matmul import int8_matmul, quantize_weights
+from mmor_tpu.ops.attention import (
+    decode_attention,
+    decode_attention_packed_stack,
+    flash_attention,
+    pack_kv_heads,
+)
+from mmor_tpu.ops.quantized_matmul import (
+    int8_matmul_packed,
+    pack_int8_rows,
+    quantize_weights,
+)
 
 KVCache = dict[str, Any]
 
@@ -31,31 +41,38 @@ KVCache = dict[str, Any]
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-position symmetric int8 KV quantization over the head dim.
 
-    x: (..., D) -> (int8 (..., D), scale (..., 1) f32). Halves the KV cache's
-    HBM footprint so larger decode batches fit (the throughput lever on
-    weight-streaming-bound chips); accuracy loss is negligible for 128-wide
-    heads.
+    x: (..., T, D) -> (packed int32 (..., D/4, T), scale (..., T) f32).
+    Halves the KV cache's HBM footprint so larger decode batches fit, and the
+    int32 packing (see ops/attention.pack_kv_heads) keeps decode streaming at
+    the full DMA byte rate — a plain int8 cache reads at half rate and XLA
+    materializes the ``astype`` dequant besides. Accuracy loss is negligible
+    for 128-wide heads.
     """
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
+    return pack_kv_heads(q), scale[..., 0].astype(jnp.float32)
 
 
 class QuantDense(nn.Module):
-    """Dense with int8 weights + per-channel scales, served by the Pallas
-    dequant-matmul kernel. Parameter tree: {w_q int8 (in, out), scale (out,)};
-    populate via ``quantize_llama_params`` — init values are placeholders."""
+    """Dense with int8 weights packed 4-per-int32 + per-channel scales,
+    served by the Pallas packed dequant-matmul kernel (weights rest packed in
+    HBM so decode streams them at the full DMA byte rate — narrow int8
+    tensors cap at half, see ops/quantized_matmul.pack_int8_rows).
+    Parameter tree: {w_p int32 (in/4, out), scale (out,)}; populate via
+    ``quantize_llama_params`` — init values are placeholders."""
 
     features: int
+    int8_mxu: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = x.shape[-1]
-        w_q = self.param("w_q", nn.initializers.zeros, (k, self.features), jnp.int8)
+        w_p = self.param("w_p", nn.initializers.zeros,
+                         (k // 4, self.features), jnp.int32)
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         flat = x.reshape(-1, k)
-        out = int8_matmul(flat, w_q, scale)
+        out = int8_matmul_packed(flat, w_p, scale, int8_mxu=self.int8_mxu)
         return out.reshape(*x.shape[:-1], self.features)
 
 
@@ -85,19 +102,28 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 
 class LlamaBlock(nn.Module):
-    """One decoder block. ``cache_kv is None`` selects prefill (flash attention
-    over the full sequence); otherwise a single-position KV-cache decode step.
-    The mode check is python-level, so one scanned module serves both modes
-    with one parameter tree."""
+    """One decoder block inside the layer scan.
+
+    ``carry = (x, caches, layer_idx)``: ``caches is None`` selects prefill
+    (flash attention over the full sequence, per-layer KV emitted as scan
+    outputs); otherwise a single-position decode step against the FULL cache
+    stacks carried through the scan — updates are in-place
+    dynamic_update_slices on the carry and the attention kernel reads its
+    layer via scalar-prefetch index maps, so no per-layer cache slices or
+    scan xs/ys cache buffers ever materialize (those OOM'd the b24 step
+    program). The mode check is python-level, so one scanned module serves
+    both modes with one parameter tree."""
 
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, cache_kv, positions, segment_ids, kv_mask, write_pos):
+    def __call__(self, carry, positions, segment_ids, kv_mask, write_pos):
+        x, caches, layer_idx = carry
         cfg = self.cfg
-        decode = cache_kv is not None
+        decode = caches is not None
         if cfg.weight_quant:
-            dense = lambda feats, name: QuantDense(feats, name=name)
+            dense = lambda feats, name: QuantDense(
+                feats, int8_mxu=cfg.quant_int8_mxu, name=name)
         else:
             dense = lambda feats, name: nn.Dense(
                 feats, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
@@ -129,30 +155,43 @@ class LlamaBlock(nn.Module):
             k = jnp.repeat(k, reps, axis=1)
             v = jnp.repeat(v, reps, axis=1)
 
+        per_layer_out = None
         if not decode:
             attn = flash_attention(q, k, v, causal=True, segment_ids=segment_ids)
-            new_cache = (k, v)
+            if cfg.kv_quant:
+                # quantize+pack per layer inside the scan: the full-depth
+                # bf16 KV stack (2 x L*B*H*T*D) would otherwise materialize
+                # before build_cache (measured 2 x 4.15 GB at b24 — OOM)
+                k_q, k_s = quantize_kv(k)
+                v_q, v_s = quantize_kv(v)
+                per_layer_out = (k_q, k_s, v_q, v_s)
+            else:
+                per_layer_out = (k, v)
         elif cfg.kv_quant:
-            k_cache, k_scale, v_cache, v_scale = cache_kv
-            k_q, k_s = quantize_kv(k)
+            # stacks: (L, B, H, D/4, T) int32 caches + (L, B, H, T) scales
+            k_stack, ks_stack, v_stack, vs_stack = caches
+            k_q, k_s = quantize_kv(k)  # (B, H, D/4, 1), (B, H, 1)
             v_q, v_s = quantize_kv(v)
-            at = lambda c, x: jax.lax.dynamic_update_slice(c, x, (0, 0, write_pos, 0))
-            k_cache, k_scale = at(k_cache, k_q), at(k_scale, k_s)
-            v_cache, v_scale = at(v_cache, v_q), at(v_scale, v_s)
-            attn = decode_attention(
-                q, k_cache, v_cache, kv_mask, k_scale=k_scale, v_scale=v_scale
+            at = lambda c, u: jax.lax.dynamic_update_slice(
+                c, u[None], (layer_idx, 0, 0, 0, write_pos))
+            at_s = lambda c, u: jax.lax.dynamic_update_slice(
+                c, u[None], (layer_idx, 0, 0, write_pos))
+            k_stack, ks_stack = at(k_stack, k_q), at_s(ks_stack, k_s)
+            v_stack, vs_stack = at(v_stack, v_q), at_s(vs_stack, v_s)
+            attn = decode_attention_packed_stack(
+                q, k_stack, v_stack, ks_stack, vs_stack, kv_mask, layer_idx
             )
-            new_cache = (k_cache, k_scale, v_cache, v_scale)
+            caches = (k_stack, ks_stack, v_stack, vs_stack)
         else:
-            k_cache, v_cache = cache_kv
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k, (0, 0, write_pos, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v, (0, 0, write_pos, 0)
-            )
-            attn = decode_attention(q, k_cache, v_cache, kv_mask)
-            new_cache = (k_cache, v_cache)
+            k_stack, v_stack = caches  # (L, B, H, T, Dh)
+            k_stack = jax.lax.dynamic_update_slice(
+                k_stack, k[None], (layer_idx, 0, 0, write_pos, 0))
+            v_stack = jax.lax.dynamic_update_slice(
+                v_stack, v[None], (layer_idx, 0, 0, write_pos, 0))
+            take = lambda s: jax.lax.dynamic_index_in_dim(s, layer_idx,
+                                                          keepdims=False)
+            attn = decode_attention(q, take(k_stack), take(v_stack), kv_mask)
+            caches = (k_stack, v_stack)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(batch, seq, cfg.n_heads * cfg.head_dim)
         x = x + dense(cfg.dim, "o_proj")(attn)
@@ -165,7 +204,7 @@ class LlamaBlock(nn.Module):
             gate = dense(cfg.ffn_dim, "gate_proj")(h)
             up = dense(cfg.ffn_dim, "up_proj")(h)
         x = x + dense(cfg.dim, "down_proj")(nn.silu(gate) * up)
-        return x, new_cache
+        return (x, caches, layer_idx + 1), per_layer_out
 
 
 class LlamaModel(nn.Module):
@@ -186,17 +225,22 @@ class LlamaModel(nn.Module):
             name="embed_tokens",
         )
         block = nn.remat(LlamaBlock) if cfg.remat else LlamaBlock
+        # carry = (x, caches, layer_idx); all other args broadcast. Prefill
+        # emits per-layer KV as stacked scan outputs; decode threads the full
+        # cache stacks through the carry (in-place updates, no xs/ys buffers).
         self.blocks = nn.scan(
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=cfg.n_layers,
         )(cfg, name="blocks")
         self.final_norm = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="final_norm")
         if cfg.weight_quant:
-            self.lm_head = QuantDense(cfg.vocab_size, name="lm_head")
+            self.lm_head = QuantDense(cfg.vocab_size,
+                                      int8_mxu=cfg.quant_int8_mxu,
+                                      name="lm_head")
         else:
             self.lm_head = nn.Dense(
                 cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
@@ -227,10 +271,12 @@ class LlamaModel(nn.Module):
             # left-pad aware positions: first real token gets position 0
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
 
+        idx0 = jnp.asarray(0, jnp.int32)
         if not decode:
             segment_ids = attention_mask.astype(jnp.int32)
-            x, stacked_kv = self.blocks(x, None, positions, segment_ids, None, None)
-            new_cache = stacked_kv  # (k, v) each (L, B, H, T, Dh)
+            (x, _, _), stacked_kv = self.blocks(
+                (x, None, idx0), positions, segment_ids, None, None)
+            new_cache = stacked_kv  # per-layer KV stacked on axis 0
         else:
             # mark the current slot valid before attention so the new token
             # attends to itself
@@ -243,9 +289,8 @@ class LlamaModel(nn.Module):
                 cache_kv = (cache["k"], cache["k_s"], cache["v"], cache["v_s"])
             else:
                 cache_kv = (cache["k"], cache["v"])
-            x, new_kv = self.blocks(
-                x,
-                cache_kv,
+            (x, new_kv, _), _ = self.blocks(
+                (x, cache_kv, idx0),
                 positions,
                 None,
                 kv_mask,
@@ -278,11 +323,15 @@ def build_cache(
     """Assemble a static-capacity KV cache from prefill keys/values.
 
     ``attention_mask`` is the (left-padded) prompt mask; padded key slots stay
-    masked out for the whole decode. With ``cfg.kv_quant`` the cache stores
-    int8 values + per-position scales (half the HBM footprint).
+    masked out for the whole decode. With ``cfg.kv_quant``, ``prefill_kv`` is
+    the packed 4-tuple the prefill scan emits (int8-in-int32 caches +
+    per-position scales, half the HBM footprint).
     """
-    k, v = prefill_kv  # (L, B, H, T, Dh)
-    n_layers, batch, heads, seq, head_dim = k.shape
+    if cfg.kv_quant:
+        seq = prefill_kv[0].shape[-1]
+    else:
+        k, v = prefill_kv  # (L, B, H, T, Dh)
+        seq = k.shape[3]
     pad = max_len - seq
     pad_t = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
     kv_mask = jnp.pad(attention_mask.astype(jnp.int32), ((0, 0), (0, pad)))
@@ -292,11 +341,15 @@ def build_cache(
         tok_pos=jnp.sum(attention_mask, axis=-1).astype(jnp.int32),
     )
     if cfg.kv_quant:
-        k_q, k_s = quantize_kv(k)
-        v_q, v_s = quantize_kv(v)
+        # prefill already emitted packed caches per layer (LlamaBlock's
+        # prefill branch): (L, B, H, D/4, T) int32 + (L, B, H, T) scales.
+        # T is the last axis in both, so padding to capacity is a tail pad.
+        k_q, k_s, v_q, v_s = prefill_kv
+        pad_last = ((0, 0),) * 4 + ((0, pad),)
+        pad_s = ((0, 0),) * 3 + ((0, pad),)
         cache.update(
-            k=jnp.pad(k_q, pad_t), k_s=jnp.pad(k_s, pad_t),
-            v=jnp.pad(v_q, pad_t), v_s=jnp.pad(v_s, pad_t),
+            k=jnp.pad(k_q, pad_last), k_s=jnp.pad(k_s, pad_s),
+            v=jnp.pad(v_q, pad_last), v_s=jnp.pad(v_s, pad_s),
         )
     else:
         cache.update(k=jnp.pad(k, pad_t), v=jnp.pad(v, pad_t))
@@ -358,6 +411,67 @@ def greedy_decode(
     return tokens
 
 
+def make_decode_step(model: LlamaModel, *, donate: bool = True):
+    """Jitted single-token decode step with the KV cache DONATED.
+
+    The axon AOT compile does not alias the decode while_loop's cache carry
+    (CLAUDE.md round-1 analysis: the cache is double-counted in program
+    memory AND copied every iteration — measured ~65 ms/token at b14, ~4
+    full-cache copies of traffic). Donating the cache argument across
+    host-driven step calls makes the update genuinely in-place. Dispatch is
+    async, so a python token loop pipelines without per-token host syncs.
+
+    Returns step(params, cache, tok (B,1) int32) -> (nxt (B,) int32, cache).
+    """
+
+    def step(params, cache, tok):
+        embeds = model.apply(params, tok, method=LlamaModel.embed_tokens)
+        logits, cache = model.apply(
+            params,
+            input_embeds=embeds,
+            attention_mask=jnp.ones(tok.shape, jnp.int32),
+            positions=cache["tok_pos"][:, None],
+            cache=cache,
+        )
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return nxt, cache
+
+    return jax.jit(step, donate_argnums=(1,) if donate else ())
+
+
+def greedy_decode_hostloop(
+    model: LlamaModel,
+    params,
+    prompt_logits: jax.Array,
+    cache: KVCache,
+    max_new_tokens: int,
+    *,
+    eos_token_id: int,
+    step_fn=None,
+) -> jax.Array:
+    """Greedy decode as a host-driven loop over donated-cache steps.
+
+    Semantics match ``greedy_decode`` (EOS padding applied post-hoc) minus
+    early-exit — every sequence runs the full budget, as the serving bench
+    does anyway. Returns (B, max_new_tokens) int32 on host.
+    """
+    batch = prompt_logits.shape[0]
+    if step_fn is None:
+        step_fn = make_decode_step(model)
+    tok = jnp.argmax(prompt_logits[:, -1, :], axis=-1).astype(jnp.int32)
+    toks = [tok]
+    for _ in range(max_new_tokens - 1):
+        tok, cache = step_fn(params, cache, tok[:, None])
+        toks.append(tok)
+    out = np.asarray(jnp.stack(toks, axis=1))
+    # post-hoc EOS padding (greedy_decode's in-loop `done` semantics)
+    for b in range(batch):
+        hits = np.nonzero(out[b] == eos_token_id)[0]
+        if hits.size:
+            out[b, hits[0]:] = eos_token_id
+    return jnp.asarray(out)
+
+
 def fuse_llama_params(params: dict) -> dict:
     """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj kernels (for
     ``fused_qkv=True``). Concatenation is along the output dim, matching the
@@ -377,11 +491,13 @@ def fuse_llama_params(params: dict) -> dict:
 
 
 def quantize_llama_params(params: dict) -> dict:
-    """bf16/f32 LlamaModel params -> int8-quantized tree for weight_quant=True.
+    """bf16/f32 LlamaModel params -> packed-int8 tree for weight_quant=True.
 
-    Blocks' stacked (L, in, out) kernels quantize per layer; lm_head
-    quantizes whole; embeddings and norms stay as-is. Handles both the split
-    and the fused (qkv_proj / gate_up_proj) projection layouts.
+    Blocks' stacked (L, in, out) kernels quantize per layer and pack
+    4 int8 rows per int32 (full-rate HBM streaming, see
+    ops/quantized_matmul.pack_int8_rows); lm_head quantizes whole;
+    embeddings and norms stay as-is. Handles both the split and the fused
+    (qkv_proj / gate_up_proj) projection layouts.
     """
     tree = jax.tree.map(lambda x: x, params)  # shallow copy
     inner = tree["params"] if "params" in tree else tree
@@ -393,8 +509,8 @@ def quantize_llama_params(params: dict) -> dict:
             continue
         kernel = blocks[name].pop("kernel")
         w_q, scale = jax.vmap(quantize_weights)(kernel)
-        blocks[name] = {"w_q": w_q, "scale": scale}
+        blocks[name] = {"w_p": jax.vmap(pack_int8_rows)(w_q), "scale": scale}
     head = inner["lm_head"].pop("kernel")
     w_q, scale = quantize_weights(head)
-    inner["lm_head"] = {"w_q": w_q, "scale": scale}
+    inner["lm_head"] = {"w_p": pack_int8_rows(w_q), "scale": scale}
     return tree

@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 from mmor_tpu.config import MM2SGConfig
 from mmor_tpu.models.clip_vit import ClipVisionTower
-from mmor_tpu.models.llama import LlamaModel, build_cache, greedy_decode
+from mmor_tpu.models.llama import (
+    LlamaModel,
+    build_cache,
+    greedy_decode,
+    greedy_decode_hostloop,
+    make_decode_step,
+)
 from mmor_tpu.models.pooler import ImagePooler, MMProjector, SegmaskEncoder
 from mmor_tpu.models.ptv3 import PointTransformerV3
 from mmor_tpu.sg.prompts import IGNORE_INDEX, IMAGE_TOKEN_INDEX
@@ -217,7 +223,22 @@ def generate(
     ``batch`` holds input_ids/attention_mask/images/view_mask and optional
     pc_feature/audio_embedding/segmasks. Jit-able end to end; returns
     (B, max_new_tokens) int32 token ids.
+
+    Instead of ``images``, the batch may carry ``raw_views`` — a tuple of V
+    per-slot uint8 arrays (B, h_v, w_v, 3) at their native camera
+    resolutions. Pad-to-square + bicubic resize + CLIP normalization then run
+    on device inside this same jit'd graph (BASELINE's fused-preprocessing
+    requirement; the reference does this per-sample in PIL on host,
+    `scene_graph_prediction_model.py:117-121`).
     """
+    batch = dict(batch)
+    if "raw_views" in batch:
+        from mmor_tpu.ops.image_preproc import preprocess_views
+
+        size = model.cfg.vision.image_size
+        views = [preprocess_views(rv, size).astype(model.cfg.vision.dtype)
+                 for rv in batch.pop("raw_views")]
+        batch["images"] = jnp.stack(views, axis=1)  # (B, V, S, S, 3)
     logits, _, aux = model.apply(
         params,
         batch["input_ids"],
@@ -246,4 +267,70 @@ def generate(
         cache,
         max_new_tokens,
         eos_token_id=eos_token_id,
+    )
+
+
+def make_prefill(model: MM2SG, *, max_cache_len: int):
+    """Jitted multimodal prefill -> (next-token logits, KV cache)."""
+
+    def prefill(params, batch):
+        batch = dict(batch)
+        if "raw_views" in batch:
+            from mmor_tpu.ops.image_preproc import preprocess_views
+
+            size = model.cfg.vision.image_size
+            views = [preprocess_views(rv, size).astype(model.cfg.vision.dtype)
+                     for rv in batch.pop("raw_views")]
+            batch["images"] = jnp.stack(views, axis=1)
+        logits, _, aux = model.apply(
+            params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["images"],
+            batch["view_mask"],
+            pc_feature=batch.get("pc_feature"),
+            audio_embedding=batch.get("audio_embedding"),
+            segmasks=batch.get("segmasks"),
+            pc_points=batch.get("pc_points"),
+            pc_valid=batch.get("pc_valid"),
+            return_cache=True,
+            last_logit_only=True,
+        )
+        cache = build_cache(
+            model.cfg.llama, aux["kv"], aux["attention_mask"], max_cache_len
+        )
+        return logits, cache
+
+    return jax.jit(prefill)
+
+
+def generate_stepwise(
+    model: MM2SG,
+    params: Any,
+    batch: dict[str, jax.Array],
+    *,
+    max_cache_len: int,
+    max_new_tokens: int,
+    eos_token_id: int,
+    prefill_fn=None,
+    step_fn=None,
+) -> jax.Array:
+    """Greedy generation as jitted prefill + host-driven donated-cache steps.
+
+    Same contract as ``generate``, but the KV cache is donated between step
+    calls instead of carried through a while_loop — on runtimes that don't
+    alias while_loop carries (the axon AOT path) this removes per-token
+    full-cache copies and halves cache memory. Steps dispatch asynchronously;
+    only the final stack syncs.
+    """
+    lm = LlamaModel(model.cfg.llama)
+    lm_params = {"params": params["params"]["language_model"]}
+    if prefill_fn is None:
+        prefill_fn = make_prefill(model, max_cache_len=max_cache_len)
+    if step_fn is None:
+        step_fn = make_decode_step(lm)
+    logits, cache = prefill_fn(params, batch)
+    return greedy_decode_hostloop(
+        lm, lm_params, logits, cache, max_new_tokens,
+        eos_token_id=eos_token_id, step_fn=step_fn,
     )

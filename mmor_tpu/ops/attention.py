@@ -315,3 +315,188 @@ def decode_attention(
     else:
         v = v_cache
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# Packed-int8 KV cache decode attention (int32-packed, fused dequant)
+# ---------------------------------------------------------------------------
+#
+# The tunnel chip's DMA streams narrow dtypes at the ELEMENT rate, so an int8
+# KV cache reads at half the bf16 byte rate, and XLA materializes the
+# ``astype`` dequant besides (CLAUDE.md measured dead ends). This layout
+# fixes both:
+#
+# - caches live as (B, H, D/4, T) int32 — 4 int8 values packed per element
+#   along the head dim, T in lanes. Streaming runs at the full byte rate and
+#   ``pltpu.bitcast(int32 (D/4, t) -> int8)`` unpacks to (D, t) as a vreg
+#   relayout (row 4r+b = byte b of packed row r), not per-element shifts;
+# - writing decode position t touches one lane column -> a plain
+#   dynamic_update_slice, no read-modify-write of packed words;
+# - per-position scales are (B, H, T) and fold into the logits / weights.
+
+
+def pack_kv_heads(x_q: jax.Array) -> jax.Array:
+    """int8 (..., T, D) -> packed int32 (..., D/4, T).
+
+    Word r packs head-dim indices {4r, 4r+1, 4r+2, 4r+3} (little-endian), so
+    the in-kernel bitcast reproduces rows in natural D order.
+    """
+    *lead, t, d = x_q.shape
+    x = jnp.swapaxes(x_q, -1, -2)  # (..., D, T)
+    x = x.reshape(*lead, d // 4, 4, t).astype(jnp.int32) & 0xFF
+    return (x[..., 0, :] | (x[..., 1, :] << 8)
+            | (x[..., 2, :] << 16) | (x[..., 3, :] << 24))
+
+
+def unpack_kv_heads(x_p: jax.Array) -> jax.Array:
+    """Inverse of ``pack_kv_heads`` in plain XLA: (..., D/4, T) -> (..., T, D)."""
+    *lead, d4, t = x_p.shape
+    parts = [((x_p << (24 - 8 * b)) >> 24).astype(jnp.int8) for b in range(4)]
+    stacked = jnp.stack(parts, axis=-2)  # (..., D/4, 4, T)
+    return jnp.swapaxes(stacked.reshape(*lead, d4 * 4, t), -1, -2)
+
+
+def _packed_decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref,
+                          o_ref, *, sm_scale: float):
+    q = q_ref[0]  # (1, D) bf16
+    k8 = pltpu.bitcast(k_ref[0], jnp.int8)  # (D, T)
+    v8 = pltpu.bitcast(v_ref[0], jnp.int8)  # (D, T)
+    k = k8.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (1, T)
+    s = s * sm_scale * ks_ref[0]  # per-position k scale (1, T)
+    s = jnp.where(mask_ref[0] != 0, s, DEFAULT_MASK_VALUE)
+    w = jax.nn.softmax(s, axis=-1)  # (1, T) f32
+    w = w * vs_ref[0]  # fold v scale into weights, stays f32
+    v = v8.astype(jnp.float32)
+    # weighted sum over T as mul + lane reduction ((1,T)-rhs dot_general trips
+    # a Mosaic verifier bug)
+    out = jnp.sum(v * w, axis=1, keepdims=True)  # (D, 1) f32
+    o_ref[0] = out
+
+
+def decode_attention_packed(
+    q: jax.Array,  # (B, H, 1, D) bf16
+    k_packed: jax.Array,  # (B, H, D/4, T) int32
+    v_packed: jax.Array,  # (B, H, D/4, T) int32
+    k_scale: jax.Array,  # (B, H, T) f32
+    v_scale: jax.Array,  # (B, H, T) f32
+    kv_mask: jax.Array,  # (B, T) nonzero on valid slots
+    *,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Single-position attention against the packed int8 KV cache.
+
+    One fused kernel: bitcast-unpack + dequant + masked softmax + weighted
+    sum, streaming each cache element exactly once at the full DMA byte rate.
+    Returns (B, H, 1, D) in q.dtype.
+    """
+    b, h, _, d = q.shape
+    t = k_packed.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        k8 = unpack_kv_heads(k_packed)  # (B, H, T, D)
+        v8 = unpack_kv_heads(v_packed)
+        return decode_attention(
+            q, k8, v8, kv_mask,
+            sm_scale=scale,
+            k_scale=k_scale[..., None], v_scale=v_scale[..., None],
+        )
+
+    bh = b * h
+    qf = q.reshape(bh, 1, d).astype(jnp.bfloat16)
+    kf = k_packed.reshape(bh, d // 4, t)
+    vf = v_packed.reshape(bh, d // 4, t)
+    ksf = k_scale.reshape(bh, 1, t).astype(jnp.float32)
+    vsf = v_scale.reshape(bh, 1, t).astype(jnp.float32)
+    maskf = kv_mask.astype(jnp.int32).reshape(b, 1, t)
+
+    out = pl.pallas_call(
+        functools.partial(_packed_decode_kernel, sm_scale=scale),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, d // 4, t), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, d // 4, t), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i: (i // h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, 1), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, d, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(qf, kf, vf, ksf, vsf, maskf)
+    return out.reshape(b, h, d)[:, :, None, :].astype(q.dtype)
+
+
+def _packed_decode_stack_kernel(idx_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                                mask_ref, o_ref, *, sm_scale: float):
+    del idx_ref  # consumed by the index maps (scalar prefetch)
+    _packed_decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref,
+                          o_ref, sm_scale=sm_scale)
+
+
+def decode_attention_packed_stack(
+    q: jax.Array,  # (B, H, 1, D) bf16
+    k_stack: jax.Array,  # (L, B, H, D/4, T) int32 — FULL layer stack
+    v_stack: jax.Array,  # (L, B, H, D/4, T) int32
+    ks_stack: jax.Array,  # (L, B, H, T) f32
+    vs_stack: jax.Array,  # (L, B, H, T) f32
+    kv_mask: jax.Array,  # (B, T)
+    layer_idx: jax.Array,  # () int32
+    *,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Packed decode attention reading layer ``layer_idx`` straight out of
+    the full cache stack via scalar-prefetch index maps.
+
+    Keeping the stacks as a scan CARRY and slicing inside the kernel avoids
+    both the per-layer dynamic-slice copy (2 x 82 MB/layer at b24) and the
+    scan xs/ys cache buffers that OOM'd the step program (2.62 GB HLO temp).
+    """
+    b, h, _, d = q.shape
+    l = k_stack.shape[0]
+    t = k_stack.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        take = lambda s: jax.lax.dynamic_index_in_dim(s, layer_idx, keepdims=False)
+        return decode_attention_packed(
+            q, take(k_stack), take(v_stack), take(ks_stack), take(vs_stack),
+            kv_mask, sm_scale=scale,
+        )
+
+    bh = b * h
+    qf = q.reshape(bh, 1, d).astype(jnp.bfloat16)
+    kf = k_stack.reshape(l * bh, d // 4, t)
+    vf = v_stack.reshape(l * bh, d // 4, t)
+    ksf = ks_stack.reshape(l * bh, 1, t).astype(jnp.float32)
+    vsf = vs_stack.reshape(l * bh, 1, t).astype(jnp.float32)
+    maskf = kv_mask.astype(jnp.int32).reshape(b, 1, t)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda i, idx: (i, 0, 0)),
+            pl.BlockSpec((1, d // 4, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
+            pl.BlockSpec((1, d // 4, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, idx: (i // h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, 1), lambda i, idx: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_packed_decode_stack_kernel, sm_scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, d, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), qf, kf, vf, ksf, vsf, maskf)
+    return out.reshape(b, h, d)[:, :, None, :].astype(q.dtype)

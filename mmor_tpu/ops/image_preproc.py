@@ -13,9 +13,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-CLIP_MEAN = jnp.asarray([0.48145466, 0.4578275, 0.40821073], jnp.float32)
-CLIP_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711], jnp.float32)
+# plain numpy: module import can happen inside a jit trace (lazy import in
+# mm2sg.generate) and module-level jnp constants would leak as tracers
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def preprocess_views(

@@ -118,6 +118,129 @@ def int8_matmul(
     return (out[:m, :n] * row_scale).astype(x.dtype)
 
 
+def pack_int8_rows(w_q: jax.Array) -> jax.Array:
+    """(K, N) int8 -> (K/4, N) int32; byte b of word r = row 4r+b.
+
+    The chip's DMA is element-rate limited (~170 Gelem/s measured on the
+    tunnel chip), so int8 tensors stream at only half the bf16 BYTE rate.
+    Packing 4 weights per int32 element restores the full byte rate;
+    ``pltpu.bitcast(int32 (r, n) -> int8)`` unpacks to (4r, n) with row
+    4r+b = byte b (little-endian), i.e. exactly the original tile — a vreg
+    relayout, not per-element ALU work.
+    """
+    k, n = w_q.shape
+    assert k % 4 == 0, "pad K to a multiple of 4 before packing"
+    w = w_q.reshape(k // 4, 4, n).astype(jnp.int32) & 0xFF
+    return w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+
+
+def unpack_int8_rows(w_p: jax.Array) -> jax.Array:
+    """Inverse of ``pack_int8_rows`` in plain XLA (host/CPU fallback)."""
+    kp, n = w_p.shape
+    parts = [((w_p << (24 - 8 * b)) >> 24).astype(jnp.int8) for b in range(4)]
+    return jnp.stack(parts, axis=1).reshape(kp * 4, n)
+
+
+def _largest_divisor(x: int, cap: int, multiple: int) -> int:
+    for cand in range(min(cap, x), 0, -1):
+        if cand % multiple == 0 and x % cand == 0:
+            return cand
+    return multiple
+
+
+def _packed_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, n_k: int,
+                   int8_mxu: bool):
+    from jax.experimental.pallas import tpu as _pltpu
+
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w8 = _pltpu.bitcast(w_ref[...], jnp.int8)  # (block_k, block_n) relayout
+    dims = (((1,), (0,)), ((), ()))
+    if int8_mxu:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...], w8, dims, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...], w8.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        o_ref[...] = (
+            acc_ref[...] * scale_ref[0].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+def int8_matmul_packed(
+    x: jax.Array,  # (M, K) bf16/f32
+    w_p: jax.Array,  # (K/4, N) int32 packed int8
+    scale: jax.Array,  # (N,) f32 per-channel
+    *,
+    int8_mxu: bool = True,
+    block_m: int = 256,
+) -> jax.Array:
+    """x @ dequant(unpack(w_p)) -> (M, N) in x.dtype.
+
+    int8 weights stored packed 4-per-int32 stream at the full DMA byte rate
+    (the narrow-dtype path caps at half, see ``pack_int8_rows``). With
+    ``int8_mxu`` activations quantize per-row to int8 and the MXU runs
+    int8 x int8 -> int32; otherwise weights convert to bf16 in VMEM (one VPU
+    op/element) and the MXU runs bf16.
+    """
+    m, k = x.shape
+    kp, n = w_p.shape
+    assert kp * 4 == k, (k, kp)
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        w = unpack_int8_rows(w_p).astype(jnp.float32) * scale[None, :]
+        return jnp.dot(x.astype(jnp.float32), w).astype(x.dtype)
+
+    if int8_mxu:
+        xf = x.astype(jnp.float32)
+        row_amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        row_scale = jnp.where(row_amax > 0, row_amax / 127.0, 1.0)
+        xq = jnp.clip(jnp.round(xf / row_scale), -127, 127).astype(jnp.int8)
+        min_m = 32  # int8 sublane tile
+    else:
+        xq = x.astype(jnp.bfloat16)
+        row_scale = None
+        min_m = 16
+
+    block_m = min(block_m, max(min_m, -(-m // min_m) * min_m))
+    # block_kp * 4 is the x-block lane dim -> must be a 128-multiple
+    block_kp = _largest_divisor(kp, 512, 32)
+    block_n = _largest_divisor(n, 512, 128)
+    if m % block_m:
+        xq = jnp.pad(xq, ((0, block_m - m % block_m), (0, 0)))
+    m_pad = xq.shape[0]
+
+    grid = (m_pad // block_m, n // block_n, kp // block_kp)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, n_k=grid[2], int8_mxu=int8_mxu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_kp * 4), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_kp, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(xq, w_p, scale[None, :])
+    out = out[:m, :n]
+    if row_scale is not None:
+        out = out * row_scale
+    return out.astype(x.dtype)
+
+
 def quantize_param_tree(params, path_predicate) -> tuple[dict, dict]:
     """Split a flax param tree: kernels selected by ``path_predicate`` are
     quantized into a side table {path: (w_q, scale)}; the original leaves are

@@ -26,11 +26,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 TP_RULES: tuple[tuple[str, P], ...] = (
     (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, None, "model")),
     (r".*blocks/(o_proj|down_proj)/kernel$", P(None, "model", None)),
-    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_q$", P(None, None, "model")),
-    (r".*blocks/(o_proj|down_proj)/w_q$", P(None, "model", None)),
+    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_[qp]$", P(None, None, "model")),
+    (r".*blocks/(o_proj|down_proj)/w_[qp]$", P(None, "model", None)),
     (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P(None, "model")),
     (r".*lm_head/kernel$", P(None, "model")),
-    (r".*lm_head/w_q$", P(None, "model")),
+    (r".*lm_head/w_[qp]$", P(None, "model")),
     (r".*lm_head/scale$", P("model")),
 )
 

@@ -80,3 +80,45 @@ def test_flash_attention_grads_flow():
     for g, rg in zip(grads, ref_grads):
         np.testing.assert_allclose(g, rg, atol=1e-4)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_pack_kv_heads_roundtrip():
+    from mmor_tpu.ops.attention import pack_kv_heads, unpack_kv_heads
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-127, 128, size=(2, 3, 16, 8), dtype=np.int8)
+    packed = pack_kv_heads(jnp.asarray(x))
+    assert packed.shape == (2, 3, 2, 16) and packed.dtype == jnp.int32
+    back = np.asarray(unpack_kv_heads(packed))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_pack_int8_rows_roundtrip():
+    from mmor_tpu.ops.quantized_matmul import pack_int8_rows, unpack_int8_rows
+
+    rng = np.random.default_rng(1)
+    w = rng.integers(-127, 128, size=(16, 8), dtype=np.int8)
+    packed = pack_int8_rows(jnp.asarray(w))
+    assert packed.shape == (4, 8) and packed.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(unpack_int8_rows(packed)), w)
+
+
+def test_decode_attention_packed_matches_oracle():
+    from mmor_tpu.models.llama import quantize_kv
+    from mmor_tpu.ops.attention import decode_attention_packed, mha_reference
+
+    rng = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(rng, 3)
+    b, h, t, d = 2, 3, 24, 16
+    q = jax.random.normal(kq, (b, h, 1, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    k_p, k_s = quantize_kv(k)
+    v_p, v_s = quantize_kv(v)
+    mask = jnp.ones((b, t), jnp.int32).at[:, :4].set(0)  # left padding
+
+    got = decode_attention_packed(q, k_p, v_p, k_s, v_s, mask)
+    seg_q = jnp.ones((b, 1), jnp.int32)
+    ref = mha_reference(q, k, v, segment_ids=seg_q, kv_segment_ids=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.02)

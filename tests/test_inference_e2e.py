@@ -93,6 +93,15 @@ def test_pointcloud_reaches_generation(synthetic, predictor):
     # compare prefill logits instead of argmax tokens (argmax can coincide)
     from mmor_tpu.models import mm2sg as mm
 
+    if "images" in batch:
+        images = batch["images"]
+    else:  # fused path ships raw uint8 views
+        from mmor_tpu.ops.image_preproc import preprocess_views
+
+        images = jnp.stack(
+            [preprocess_views(rv, predictor.cfg.vision.image_size)
+             for rv in batch["raw_views"]], axis=1)
+    batch = {**batch, "images": images}
     l1, _, _ = predictor.model.apply(
         predictor.params, batch["input_ids"], batch["attention_mask"],
         batch["images"], batch["view_mask"],

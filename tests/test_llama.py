@@ -181,7 +181,9 @@ def test_kv_quant_decode_close_to_float(tiny_model):
         params, input_ids=ids[:, :prefix], attention_mask=mask[:, :prefix]
     )
     cache = build_cache(qcfg, kv, mask[:, :prefix], max_len=32)
-    assert cache["k"].dtype == jnp.int8 and "k_s" in cache
+    # packed int8-in-int32 cache (B, H, D/4, T) + per-position scales
+    assert cache["k"].dtype == jnp.int32 and "k_s" in cache
+    assert cache["k"].shape[-2] == cfg.head_dim // 4
     for t in range(prefix, total):
         step_logits, cache = qmodel.apply(
             params, input_ids=ids[:, t : t + 1],

@@ -49,9 +49,14 @@ def test_stage_steps_and_freezes(setup, stage):
     assert np.isfinite(float(metrics["total"]))
     assert np.isfinite(float(metrics["grad_norm"]))
     # params actually moved
-    before = jax.tree.leaves(state["trainable"])[0]
-    after = jax.tree.leaves(state2["trainable"])[0]
-    assert float(jnp.max(jnp.abs(before - after))) > 0
+    # some leaf moved (the first may be a FrozenBN affine, which the
+    # d2-parity optimizer groups keep frozen by design)
+    moved = max(
+        float(jnp.max(jnp.abs(b - a)))
+        for b, a in zip(jax.tree.leaves(state["trainable"]),
+                        jax.tree.leaves(state2["trainable"]))
+    )
+    assert moved > 0
 
 
 def test_reid_loss_separates_good_from_bad():
