@@ -6,10 +6,14 @@ tokens) -> projector -> multimodal splice -> prefill -> greedy KV-cached
 decode (full 300 tokens, no early stop) — on synthetic inputs, and prints ONE
 JSON line.
 
-Default configuration: int8 decoder weights (ops/quantized_matmul W8A8
-Pallas kernel). On this chip int8 matmuls are not faster per token, but the
-7.6 GB weight footprint (vs 14.2 GB bf16) lets batch 8 share each weight
-stream across 8 frames — ~2.3x the bf16 batch-1 throughput.
+Default configuration: packed-int8 decoder weights + packed-int8 KV cache
+(4 values per int32 element — narrow dtypes stream at half the DMA byte
+rate on this chip), fused qkv/gate-up projections, stepwise donated-cache
+decode, and raw uint8 native-resolution frames preprocessed on device
+inside the jit'd prefill (BASELINE's fused-preprocessing requirement). The
+6.7 GB weight + 6 GB cache footprint fits batch 22 on one chip; decode is
+per-kernel-overhead bound (~0.15-0.25 ms/pallas-call), not bandwidth-bound
+(docs/DESIGN.md).
 
 ``vs_baseline`` is the ratio against the reference setup's estimated A100
 throughput (batch 8, greedy, max_new_tokens 300, LLaVA-v1.5-7B ~= 35 tok/s
@@ -40,7 +44,7 @@ A100_REFERENCE_FPS = 0.93  # estimated reference throughput (see module docstrin
 def main():
     preset = os.environ.get("MMOR_TPU_BENCH_PRESET", "7b")
     quant = os.environ.get("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
-    default_batch = "14" if quant else "1"
+    default_batch = "22" if quant else "1"  # raw-input ceiling; 24 fits with MMOR_TPU_BENCH_RAW=0
     batch_size = int(os.environ.get("MMOR_TPU_BENCH_BATCH", default_batch))
     new_tokens = int(os.environ.get("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
     prompt_len = int(os.environ.get("MMOR_TPU_BENCH_PROMPT", "128"))
@@ -92,11 +96,16 @@ def main():
 
         prefill = make_prefill(model, max_cache_len=cache_len)
         lm_step = make_decode_step(LlamaModel(cfg.llama))
-        run = lambda p, b: generate_stepwise(
-            model, p, b, max_cache_len=cache_len,
-            max_new_tokens=new_tokens, eos_token_id=-1,
-            prefill_fn=prefill, step_fn=lm_step,
-        )
+        state = {"bufs": None}  # donated cache buffers recycle across iters
+
+        def run(p, b):
+            toks, state["bufs"] = generate_stepwise(
+                model, p, b, max_cache_len=cache_len,
+                max_new_tokens=new_tokens, eos_token_id=-1,
+                prefill_fn=prefill, step_fn=lm_step,
+                cache_buffers=state["bufs"],
+            )
+            return toks
     else:
         run = jax.jit(
             lambda p, b: generate(

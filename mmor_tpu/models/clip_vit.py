@@ -22,6 +22,34 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+class ClipFlashMHA(nn.Module):
+    """flax MultiHeadDotProductAttention param layout, flash-attention core
+    (the flax module's (N, H, 577, 577) logits were a 1.87 GB HLO temp for a
+    24-frame 7-view prefill)."""
+
+    cfg: ClipVitConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from mmor_tpu.ops.attention import flash_attention
+
+        cfg = self.cfg
+        head_dim = cfg.dim // cfg.n_heads
+        dg = lambda name: nn.DenseGeneral(
+            (cfg.n_heads, head_dim), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name)
+        tr = lambda t: t.transpose(0, 2, 1, 3)
+        # block 128: 577 tokens pad to 640 instead of 1024 (the padded q/k/v
+        # copies are the big prefill temps at high batch)
+        out = flash_attention(
+            tr(dg("query")(x)), tr(dg("key")(x)), tr(dg("value")(x)),
+            causal=False, block_q=128, block_kv=128,
+        ).transpose(0, 2, 1, 3)
+        return nn.DenseGeneral(
+            cfg.dim, axis=(-2, -1), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="out")(out)
+
+
 class ClipEncoderLayer(nn.Module):
     cfg: ClipVitConfig
 
@@ -32,12 +60,7 @@ class ClipEncoderLayer(nn.Module):
             epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
         )
         h = ln("ln1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name="attn",
-        )(h, h)
+        h = ClipFlashMHA(cfg, name="attn")(h)
         x = x + h
         h = ln("ln2")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(h)

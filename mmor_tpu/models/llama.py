@@ -51,7 +51,9 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-    return pack_kv_heads(q), scale[..., 0].astype(jnp.float32)
+    # bf16 scales: 0.4% extra quantization error, half the scale-table HBM
+    # (f32 scales were 2 x 0.8 GB at b24 — real batch-ceiling pressure)
+    return pack_kv_heads(q), scale[..., 0].astype(jnp.bfloat16)
 
 
 class QuantDense(nn.Module):
@@ -120,7 +122,12 @@ class LlamaBlock(nn.Module):
     def __call__(self, carry, positions, segment_ids, kv_mask, write_pos):
         x, caches, layer_idx = carry
         cfg = self.cfg
-        decode = caches is not None
+        # prefill passes segment_ids; decode never does. Prefill may ALSO
+        # carry preallocated full-capacity cache stacks (kv_quant serving
+        # path) — each layer writes its slice in place, so neither the bf16
+        # KV stack nor a scan-ys mirror of the cache ever materializes
+        # (the ys temp alone was 5.46 GB at b20).
+        decode = segment_ids is None
         if cfg.weight_quant:
             dense = lambda feats, name: QuantDense(
                 feats, int8_mxu=cfg.quant_int8_mxu, name=name)
@@ -158,10 +165,19 @@ class LlamaBlock(nn.Module):
         per_layer_out = None
         if not decode:
             attn = flash_attention(q, k, v, causal=True, segment_ids=segment_ids)
-            if cfg.kv_quant:
-                # quantize+pack per layer inside the scan: the full-depth
-                # bf16 KV stack (2 x L*B*H*T*D) would otherwise materialize
-                # before build_cache (measured 2 x 4.15 GB at b24 — OOM)
+            if caches is not None:
+                # serving path: write this layer's quantized+packed KV into
+                # the preallocated capacity stacks carried through the scan
+                k_stack, ks_stack, v_stack, vs_stack = caches
+                k_q, k_s = quantize_kv(k)  # (B, H, D/4, Tp), (B, H, Tp)
+                v_q, v_s = quantize_kv(v)
+                at = lambda c, u: jax.lax.dynamic_update_slice(
+                    c, u[None], (layer_idx, 0, 0, 0, 0))
+                at_s = lambda c, u: jax.lax.dynamic_update_slice(
+                    c, u[None].astype(c.dtype), (layer_idx, 0, 0, 0))
+                caches = (at(k_stack, k_q), at_s(ks_stack, k_s),
+                          at(v_stack, v_q), at_s(vs_stack, v_s))
+            elif cfg.kv_quant:
                 k_q, k_s = quantize_kv(k)
                 v_q, v_s = quantize_kv(v)
                 per_layer_out = (k_q, k_s, v_q, v_s)
@@ -232,7 +248,7 @@ class LlamaModel(nn.Module):
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast,) * 4,
             out_axes=0,
             length=cfg.n_layers,
         )(cfg, name="blocks")
@@ -259,6 +275,8 @@ class LlamaModel(nn.Module):
         positions: jax.Array | None = None,
         cache: KVCache | None = None,
         last_logit_only: bool = False,
+        prefill_pad_to: int | None = None,
+        prefill_cache_buffers=None,
     ):
         cfg = self.cfg
         if input_embeds is None:
@@ -274,9 +292,23 @@ class LlamaModel(nn.Module):
         idx0 = jnp.asarray(0, jnp.int32)
         if not decode:
             segment_ids = attention_mask.astype(jnp.int32)
-            (x, _, _), stacked_kv = self.blocks(
-                (x, None, idx0), positions, segment_ids, None, None)
-            new_cache = stacked_kv  # per-layer KV stacked on axis 0
+            init_caches = prefill_cache_buffers
+            if (init_caches is None and cfg.kv_quant
+                    and prefill_pad_to is not None):
+                # capacity stacks allocated in-program (works, but the final
+                # carry cannot alias the program output — a cache-sized HLO
+                # temp appears; pass DONATED prefill_cache_buffers from the
+                # engine to avoid it, see make_prefill)
+                d4 = cfg.head_dim // 4
+                shape = (cfg.n_layers, batch, cfg.n_heads, d4, prefill_pad_to)
+                sshape = (cfg.n_layers, batch, cfg.n_heads, prefill_pad_to)
+                init_caches = (
+                    jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
+                    jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
+                )
+            (x, filled, _), stacked_kv = self.blocks(
+                (x, init_caches, idx0), positions, segment_ids, None, None)
+            new_cache = filled if filled is not None else stacked_kv
         else:
             # mark the current slot valid before attention so the new token
             # attends to itself
@@ -325,34 +357,37 @@ def build_cache(
     ``attention_mask`` is the (left-padded) prompt mask; padded key slots stay
     masked out for the whole decode. With ``cfg.kv_quant``, ``prefill_kv`` is
     the packed 4-tuple the prefill scan emits (int8-in-int32 caches +
-    per-position scales, half the HBM footprint).
+    per-position scales, half the HBM footprint). When the prefill ran with
+    ``prefill_pad_to=max_len`` the stacks are already at capacity and no
+    copy happens here (padding the full stacks holds old+new buffers at once
+    — ~8 GB transient at b18, the serving-path OOM).
     """
-    if cfg.kv_quant:
-        seq = prefill_kv[0].shape[-1]
-    else:
-        k, v = prefill_kv  # (L, B, H, T, Dh)
-        seq = k.shape[3]
-    pad = max_len - seq
-    pad_t = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
-    kv_mask = jnp.pad(attention_mask.astype(jnp.int32), ((0, 0), (0, pad)))
+    seq = attention_mask.shape[1]
+    cur = prefill_kv[0].shape[-1] if cfg.kv_quant else prefill_kv[0].shape[3]
+    pad = max_len - cur
+    kv_mask = jnp.pad(attention_mask.astype(jnp.int32),
+                      ((0, 0), (0, max_len - seq)))
     cache = dict(
         kv_mask=kv_mask,
         write_pos=jnp.array(seq, dtype=jnp.int32),
         tok_pos=jnp.sum(attention_mask, axis=-1).astype(jnp.int32),
     )
     if cfg.kv_quant:
-        # prefill already emitted packed caches per layer (LlamaBlock's
-        # prefill branch): (L, B, H, D/4, T) int32 + (L, B, H, T) scales.
-        # T is the last axis in both, so padding to capacity is a tail pad.
+        # packed caches (L, B, H, D/4, T) int32 + (L, B, H, T) scales;
+        # T is the last axis in both, so padding to capacity is a tail pad
         k_q, k_s, v_q, v_s = prefill_kv
-        pad_last = ((0, 0),) * 4 + ((0, pad),)
-        pad_s = ((0, 0),) * 3 + ((0, pad),)
-        cache.update(
-            k=jnp.pad(k_q, pad_last), k_s=jnp.pad(k_s, pad_s),
-            v=jnp.pad(v_q, pad_last), v_s=jnp.pad(v_s, pad_s),
-        )
+        if pad:
+            pad_last = ((0, 0),) * 4 + ((0, pad),)
+            pad_s = ((0, 0),) * 3 + ((0, pad),)
+            k_q, k_s = jnp.pad(k_q, pad_last), jnp.pad(k_s, pad_s)
+            v_q, v_s = jnp.pad(v_q, pad_last), jnp.pad(v_s, pad_s)
+        cache.update(k=k_q, k_s=k_s, v=v_q, v_s=v_s)
     else:
-        cache.update(k=jnp.pad(k, pad_t), v=jnp.pad(v, pad_t))
+        k, v = prefill_kv  # (L, B, H, T, Dh)
+        if pad:
+            pad_t = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+            k, v = jnp.pad(k, pad_t), jnp.pad(v, pad_t)
+        cache.update(k=k, v=v)
     return cache
 
 
@@ -453,7 +488,9 @@ def greedy_decode_hostloop(
 
     Semantics match ``greedy_decode`` (EOS padding applied post-hoc) minus
     early-exit — every sequence runs the full budget, as the serving bench
-    does anyway. Returns (B, max_new_tokens) int32 on host.
+    does anyway. Returns ((B, max_new_tokens) int32 on host, final cache —
+    whose packed stacks can be recycled as the next generation's donated
+    prefill buffers).
     """
     batch = prompt_logits.shape[0]
     if step_fn is None:
@@ -469,7 +506,7 @@ def greedy_decode_hostloop(
         hits = np.nonzero(out[b] == eos_token_id)[0]
         if hits.size:
             out[b, hits[0]:] = eos_token_id
-    return jnp.asarray(out)
+    return jnp.asarray(out), cache
 
 
 def fuse_llama_params(params: dict) -> dict:

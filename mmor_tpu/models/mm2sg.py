@@ -173,6 +173,8 @@ class MM2SG(nn.Module):
         labels: jax.Array | None = None,
         return_cache: bool = False,
         last_logit_only: bool = False,
+        prefill_pad_to: int | None = None,
+        prefill_cache_buffers=None,
     ):
         """Prefill / training forward. Returns (logits, spliced_labels, aux).
 
@@ -190,7 +192,9 @@ class MM2SG(nn.Module):
             token_embeds, sentinel, mm, attention_mask, labels
         )
         logits, kv = self.language_model(
-            input_embeds=embeds, attention_mask=mask, last_logit_only=last_logit_only
+            input_embeds=embeds, attention_mask=mask,
+            last_logit_only=last_logit_only, prefill_pad_to=prefill_pad_to,
+            prefill_cache_buffers=prefill_cache_buffers,
         )
         aux = {"attention_mask": mask}
         if return_cache:
@@ -270,10 +274,27 @@ def generate(
     )
 
 
-def make_prefill(model: MM2SG, *, max_cache_len: int):
-    """Jitted multimodal prefill -> (next-token logits, KV cache)."""
+def alloc_cache_buffers(cfg: MM2SGConfig, batch: int, max_cache_len: int):
+    """Preallocated packed KV stacks for the donated-buffer prefill path."""
+    lc = cfg.llama
+    d4 = lc.head_dim // 4
+    shape = (lc.n_layers, batch, lc.n_heads, d4, max_cache_len)
+    sshape = (lc.n_layers, batch, lc.n_heads, max_cache_len)
+    return (jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
+            jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16))
 
-    def prefill(params, batch):
+
+def make_prefill(model: MM2SG, *, max_cache_len: int):
+    """Jitted multimodal prefill -> (next-token logits, KV cache).
+
+    ``cache_buffers`` (from ``alloc_cache_buffers`` or a previous
+    generation's final cache) are DONATED: the prefill writes each layer's
+    packed KV into them in place. Allocating the stacks inside the program
+    instead leaves a cache-sized HLO temp (the carry cannot alias the
+    program output — measured 5.46 GB at b20, the serving OOM).
+    """
+
+    def prefill(params, batch, cache_buffers):
         batch = dict(batch)
         if "raw_views" in batch:
             from mmor_tpu.ops.image_preproc import preprocess_views
@@ -295,13 +316,15 @@ def make_prefill(model: MM2SG, *, max_cache_len: int):
             pc_valid=batch.get("pc_valid"),
             return_cache=True,
             last_logit_only=True,
+            prefill_pad_to=max_cache_len,  # cache emitted at capacity, no pad copy
+            prefill_cache_buffers=cache_buffers,
         )
         cache = build_cache(
             model.cfg.llama, aux["kv"], aux["attention_mask"], max_cache_len
         )
         return logits, cache
 
-    return jax.jit(prefill)
+    return jax.jit(prefill, donate_argnums=(2,))
 
 
 def generate_stepwise(
@@ -314,8 +337,12 @@ def generate_stepwise(
     eos_token_id: int,
     prefill_fn=None,
     step_fn=None,
-) -> jax.Array:
+    cache_buffers=None,
+):
     """Greedy generation as jitted prefill + host-driven donated-cache steps.
+    Returns (tokens, recycled_cache_buffers) — feed the buffers back in as
+    ``cache_buffers`` for the next batch of the same shape (zero-allocation
+    steady state).
 
     Same contract as ``generate``, but the KV cache is donated between step
     calls instead of carried through a while_loop — on runtimes that don't
@@ -329,8 +356,17 @@ def generate_stepwise(
         prefill_fn = make_prefill(model, max_cache_len=max_cache_len)
     if step_fn is None:
         step_fn = make_decode_step(lm)
-    logits, cache = prefill_fn(params, batch)
-    return greedy_decode_hostloop(
+    if cache_buffers is None:
+        cache_buffers = alloc_cache_buffers(
+            model.cfg, batch["input_ids"].shape[0], max_cache_len)
+    logits, cache = prefill_fn(params, batch, cache_buffers)
+    tokens, final_cache = greedy_decode_hostloop(
         lm, lm_params, logits, cache, max_new_tokens,
         eos_token_id=eos_token_id, step_fn=step_fn,
     )
+    if model.cfg.llama.kv_quant:
+        recycled = (final_cache["k"], final_cache["k_s"],
+                    final_cache["v"], final_cache["v_s"])
+    else:
+        recycled = (final_cache["k"], final_cache["v"])
+    return tokens, recycled

@@ -26,20 +26,42 @@ import jax.numpy as jnp
 from mmor_tpu.config import PoolerConfig
 
 
+class FlashMHA(nn.Module):
+    """Self-attention with flax's MultiHeadDotProductAttention param layout
+    (query/key/value/out DenseGeneral) but the Pallas flash kernel as the
+    core — the materialized (B, H, S, S) logits of the flax module were a
+    4.84 GB HLO temp at b20 over 7x576 view tokens."""
+
+    cfg: PoolerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, segment_ids: jax.Array) -> jax.Array:
+        from mmor_tpu.ops.attention import flash_attention
+
+        cfg = self.cfg
+        head_dim = cfg.hidden // cfg.n_heads
+        dg = lambda name: nn.DenseGeneral(
+            (cfg.n_heads, head_dim), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name)
+        tr = lambda t: t.transpose(0, 2, 1, 3)  # (B,S,H,hd) -> (B,H,S,hd)
+        out = flash_attention(
+            tr(dg("query")(x)), tr(dg("key")(x)), tr(dg("value")(x)),
+            causal=False, segment_ids=segment_ids,
+        ).transpose(0, 2, 1, 3)
+        return nn.DenseGeneral(
+            cfg.hidden, axis=(-2, -1), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="out")(out)
+
+
 class BertLayer(nn.Module):
     """Post-LN transformer encoder layer (BERT convention)."""
 
     cfg: PoolerConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, segment_ids: jax.Array) -> jax.Array:
         cfg = self.cfg
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name="attn",
-        )(x, x, mask=mask)
+        attn = FlashMHA(cfg, name="attn")(x, segment_ids)
         x = nn.LayerNorm(
             epsilon=1e-12, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln1"
         )(x + attn)
@@ -82,9 +104,9 @@ class ImagePooler(nn.Module):
             epsilon=1e-12, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="embed_ln"
         )(x)
 
-        attn_mask = (token_mask[:, None, None, :] != 0)  # (B, 1, 1, S)
+        seg_ids = (token_mask != 0).astype(jnp.int32)  # (B, S)
         for i in range(cfg.n_layers):
-            x = BertLayer(cfg, name=f"layer_{i}")(x, attn_mask)
+            x = BertLayer(cfg, name=f"layer_{i}")(x, seg_ids)
 
         fused = x[:, : cfg.out_tokens]  # truncate (builder.py:175)
 

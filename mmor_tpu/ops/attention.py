@@ -365,10 +365,10 @@ def _packed_decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (1, T)
-    s = s * sm_scale * ks_ref[0]  # per-position k scale (1, T)
+    s = s * sm_scale * ks_ref[0].astype(jnp.float32)  # per-position k scale
     s = jnp.where(mask_ref[0] != 0, s, DEFAULT_MASK_VALUE)
     w = jax.nn.softmax(s, axis=-1)  # (1, T) f32
-    w = w * vs_ref[0]  # fold v scale into weights, stays f32
+    w = w * vs_ref[0].astype(jnp.float32)  # fold v scale into weights, f32
     v = v8.astype(jnp.float32)
     # weighted sum over T as mul + lane reduction ((1,T)-rhs dot_general trips
     # a Mosaic verifier bug)
@@ -409,8 +409,8 @@ def decode_attention_packed(
     qf = q.reshape(bh, 1, d).astype(jnp.bfloat16)
     kf = k_packed.reshape(bh, d // 4, t)
     vf = v_packed.reshape(bh, d // 4, t)
-    ksf = k_scale.reshape(bh, 1, t).astype(jnp.float32)
-    vsf = v_scale.reshape(bh, 1, t).astype(jnp.float32)
+    ksf = k_scale.reshape(bh, 1, t)
+    vsf = v_scale.reshape(bh, 1, t)
     maskf = kv_mask.astype(jnp.int32).reshape(b, 1, t)
 
     out = pl.pallas_call(
@@ -434,10 +434,23 @@ def decode_attention_packed(
 
 
 def _packed_decode_stack_kernel(idx_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                                mask_ref, o_ref, *, sm_scale: float):
+                                mask_ref, o_ref, *, sm_scale: float,
+                                heads: int):
     del idx_ref  # consumed by the index maps (scalar prefetch)
-    _packed_decode_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref,
-                          o_ref, sm_scale=sm_scale)
+    k8 = pltpu.bitcast(k_ref[...], jnp.int8)  # (G, D, T)
+    v8 = pltpu.bitcast(v_ref[...], jnp.int8)
+    mask = mask_ref[0]  # (1, T)
+    for g in range(heads):  # unrolled: per-head matvec over the shared tiles
+        q = q_ref[g]  # (1, D)
+        s = jax.lax.dot_general(
+            q, k8[g].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, T)
+        s = s * sm_scale * ks_ref[g].astype(jnp.float32)
+        s = jnp.where(mask != 0, s, DEFAULT_MASK_VALUE)
+        w = jax.nn.softmax(s, axis=-1) * vs_ref[g].astype(jnp.float32)
+        o_ref[g] = jnp.sum(v8[g].astype(jnp.float32) * w, axis=1,
+                           keepdims=True)  # (D, 1)
 
 
 def decode_attention_packed_stack(
@@ -450,6 +463,7 @@ def decode_attention_packed_stack(
     layer_idx: jax.Array,  # () int32
     *,
     sm_scale: float | None = None,
+    head_group: int = 8,
 ) -> jax.Array:
     """Packed decode attention reading layer ``layer_idx`` straight out of
     the full cache stack via scalar-prefetch index maps.
@@ -457,6 +471,8 @@ def decode_attention_packed_stack(
     Keeping the stacks as a scan CARRY and slicing inside the kernel avoids
     both the per-layer dynamic-slice copy (2 x 82 MB/layer at b24) and the
     scan xs/ys cache buffers that OOM'd the step program (2.62 GB HLO temp).
+    ``head_group`` heads share one grid program — decode cost is dominated
+    by per-program overhead, which otherwise scales with B*H.
     """
     b, h, _, d = q.shape
     l = k_stack.shape[0]
@@ -471,28 +487,33 @@ def decode_attention_packed_stack(
         )
 
     bh = b * h
+    g = head_group
+    while h % g:
+        g //= 2  # fall back to a divisor of H
+    n_grid = bh // g
     qf = q.reshape(bh, 1, d).astype(jnp.bfloat16)
     kf = k_stack.reshape(l * bh, d // 4, t)
     vf = v_stack.reshape(l * bh, d // 4, t)
-    ksf = ks_stack.reshape(l * bh, 1, t).astype(jnp.float32)
-    vsf = vs_stack.reshape(l * bh, 1, t).astype(jnp.float32)
+    ksf = ks_stack.reshape(l * bh, 1, t)
+    vsf = vs_stack.reshape(l * bh, 1, t)
     maskf = kv_mask.astype(jnp.int32).reshape(b, 1, t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
+        grid=(n_grid,),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda i, idx: (i, 0, 0)),
-            pl.BlockSpec((1, d // 4, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
-            pl.BlockSpec((1, d // 4, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda i, idx: (idx[0] * bh + i, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda i, idx: (i // h, 0, 0)),
+            pl.BlockSpec((g, 1, d), lambda i, idx: (i, 0, 0)),
+            pl.BlockSpec((g, d // 4, t), lambda i, idx: (idx[0] * n_grid + i, 0, 0)),
+            pl.BlockSpec((g, d // 4, t), lambda i, idx: (idx[0] * n_grid + i, 0, 0)),
+            pl.BlockSpec((g, 1, t), lambda i, idx: (idx[0] * n_grid + i, 0, 0)),
+            pl.BlockSpec((g, 1, t), lambda i, idx: (idx[0] * n_grid + i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, idx: (i * g // h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, d, 1), lambda i, idx: (i, 0, 0)),
+        out_specs=pl.BlockSpec((g, d, 1), lambda i, idx: (i, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_packed_decode_stack_kernel, sm_scale=scale),
+        functools.partial(_packed_decode_stack_kernel, sm_scale=scale,
+                          heads=g),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bh, d, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(

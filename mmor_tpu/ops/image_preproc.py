@@ -28,21 +28,27 @@ def preprocess_views(
     """Pad-to-square (CLIP-mean background) + bicubic resize + normalize.
 
     Works for any leading batch/view dims; output (..., S, S, 3) float32.
+    The square canvas stays uint8 and the resize runs in bf16 — an f32
+    canvas is 4x the bytes ((24, 2048, 2048, 3) f32 = 1.2 GB per view slot,
+    a real batch-ceiling cost on the serving path); bf16's 0.4% rounding is
+    below one uint8 LSB.
     """
     *lead, h, w, c = frames.shape
-    x = frames.reshape((-1, h, w, c)).astype(jnp.float32) / 255.0
+    x = frames.reshape((-1, h, w, c))
 
     side = max(h, w)
-    background = CLIP_MEAN[None, None, None, :]
     if h != w:
         pad_y = (side - h) // 2
         pad_x = (side - w) // 2
-        canvas = jnp.broadcast_to(background, (x.shape[0], side, side, c))
+        bg = jnp.round(CLIP_MEAN * 255.0).astype(np.uint8)
+        canvas = jnp.broadcast_to(bg[None, None, None, :],
+                                  (x.shape[0], side, side, c))
         x = jax.lax.dynamic_update_slice(canvas, x, (0, pad_y, pad_x, 0))
 
+    x = x.astype(jnp.bfloat16) / 255.0
     x = jax.image.resize(
         x, (x.shape[0], image_size, image_size, c), method="cubic"
-    )
+    ).astype(jnp.float32)
     x = (x - CLIP_MEAN) / CLIP_STD
     return x.reshape((*lead, image_size, image_size, c))
 

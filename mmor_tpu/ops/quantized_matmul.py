@@ -148,10 +148,14 @@ def _largest_divisor(x: int, cap: int, multiple: int) -> int:
     return multiple
 
 
-def _packed_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, n_k: int,
-                   int8_mxu: bool):
+def _packed_kernel(*refs, n_k: int, int8_mxu: bool, has_rs: bool):
     from jax.experimental.pallas import tpu as _pltpu
 
+    if has_rs:
+        x_ref, w_ref, scale_ref, rs_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, w_ref, scale_ref, o_ref, acc_ref = refs
+        rs_ref = None
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -172,9 +176,12 @@ def _packed_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, n_k: int,
 
     @pl.when(ki == n_k - 1)
     def _finish():
-        o_ref[...] = (
-            acc_ref[...] * scale_ref[0].astype(jnp.float32)
-        ).astype(o_ref.dtype)
+        out = acc_ref[...] * scale_ref[0].astype(jnp.float32)
+        if rs_ref is not None:
+            out = out * rs_ref[...].astype(jnp.float32)
+        # store in the caller dtype: an f32 output materialized a 1.41 GB
+        # activation temp per prefill matmul at b24
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def int8_matmul_packed(
@@ -201,10 +208,13 @@ def int8_matmul_packed(
         return jnp.dot(x.astype(jnp.float32), w).astype(x.dtype)
 
     if int8_mxu:
-        xf = x.astype(jnp.float32)
-        row_amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        # quantize in the input dtype: an f32 (M, K) intermediate materializes
+        # otherwise (713 MB per prefill matmul at b24); bf16 is exact for the
+        # int range and adds <0.4% on top of the int8 rounding
+        row_amax = jnp.max(jnp.abs(x), axis=1, keepdims=True).astype(jnp.float32)
         row_scale = jnp.where(row_amax > 0, row_amax / 127.0, 1.0)
-        xq = jnp.clip(jnp.round(xf / row_scale), -127, 127).astype(jnp.int8)
+        inv = (1.0 / row_scale).astype(x.dtype)
+        xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
         min_m = 32  # int8 sublane tile
     else:
         xq = x.astype(jnp.bfloat16)
@@ -220,25 +230,31 @@ def int8_matmul_packed(
     m_pad = xq.shape[0]
 
     grid = (m_pad // block_m, n // block_n, kp // block_kp)
+    in_specs = [
+        pl.BlockSpec((block_m, block_kp * 4), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((block_kp, block_n), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+    ]
+    operands = [xq, w_p, scale[None, :]]
+    if row_scale is not None:
+        rs = row_scale.astype(jnp.float32)
+        if m % block_m:
+            rs = jnp.pad(rs, ((0, block_m - m % block_m), (0, 0)))
+        in_specs.append(pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)))
+        operands.append(rs)
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, n_k=grid[2], int8_mxu=int8_mxu),
+        functools.partial(_packed_kernel, n_k=grid[2], int8_mxu=int8_mxu,
+                          has_rs=row_scale is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, block_kp * 4), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((block_kp, block_n), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(xq, w_p, scale[None, :])
-    out = out[:m, :n]
-    if row_scale is not None:
-        out = out * row_scale
-    return out.astype(x.dtype)
+    )(*operands)
+    return out[:m, :n]
 
 
 def quantize_param_tree(params, path_predicate) -> tuple[dict, dict]:
