@@ -24,6 +24,7 @@ MMOR_TPU_BENCH_NEW_TOKENS, MMOR_TPU_BENCH_PROMPT, MMOR_TPU_BENCH_QUANT (1|0).
 """
 
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -39,6 +40,58 @@ from mmor_tpu.models.mm2sg import MM2SG, generate
 from __graft_entry__ import _example_batch, _preset
 
 A100_REFERENCE_FPS = 0.93  # estimated reference throughput (see module docstring)
+# Mask2Former-R50 video inference ~100 ms/frame at 720p-class resolution on
+# A100 (detectron2-lineage measurements; the reference publishes no numbers)
+A100_PANOPTIC_FPS = 10.0
+
+
+def panoptic_metric():
+    """Segmenter+tracker (DVIS online serving path) e2e frames/s at 736x1280
+    bf16 — the second stack's device hot path (window inference semantics:
+    3-frame windows, tracker state carried; VPS map assembly is host-side
+    numpy and excluded)."""
+    import dataclasses as dc
+
+    from mmor_tpu.models.mask2former_decoder import MaskDecoderConfig
+    from mmor_tpu.models.meta_arch import DVISConfig, DVISPlus
+    from mmor_tpu.models.refiner import RefinerConfig
+    from mmor_tpu.models.segmenter import SegmenterConfig
+    from mmor_tpu.models.tracker import TrackerConfig
+
+    bf = jnp.bfloat16
+    cfg = DVISConfig(
+        segmenter=SegmenterConfig(
+            decoder=MaskDecoderConfig(dtype=bf), dtype=bf),
+        tracker=TrackerConfig(dtype=bf, noise_mode="none"),
+        refiner=RefinerConfig(dtype=bf),
+    )
+    model = DVISPlus(cfg)
+    t, h, w = cfg.window_size, 736, 1280
+    frames = jax.random.normal(jax.random.PRNGKey(0), (t, h, w, 3), bf)
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(1), frames, t,
+                           with_refiner=False))
+    params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+
+    run = jax.jit(functools.partial(model.apply, num_frames=t,
+                                    with_refiner=False))
+    out, _ = run(params, frames)
+    np.asarray(out["pred_masks"][..., :1, :1])  # compile + warm
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, _ = run(params, frames)
+        np.asarray(out["pred_masks"][..., :1, :1])
+    dt = time.perf_counter() - t0
+    fps = t * iters / dt
+    return {
+        "panoptic_segmenter_tracker_fps_736x1280": round(fps, 3),
+        "panoptic_ms_per_frame": round(dt / (t * iters) * 1e3, 1),
+        "panoptic_vs_a100_est": round(fps / A100_PANOPTIC_FPS, 3),
+    }
 
 
 def main():
@@ -127,11 +180,22 @@ def main():
     tag = "int8wkv" if quant else "bf16"
     if raw:
         tag += "_rawin"  # uint8 native-res frames, on-device preprocessing
+
+    extra = {}
+    if os.environ.get("MMOR_TPU_BENCH_PANOPTIC", "1") == "1" and preset == "7b":
+        # free the MM2SG footprint before compiling the second stack
+        params = batch = run = state = None
+        try:
+            extra = panoptic_metric()
+        except Exception as e:  # never let the second stack kill the headline
+            extra = {"panoptic_error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "metric": f"mm2sg_{preset}_{tag}_b{batch_size}_e2e_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_REFERENCE_FPS, 4),
+        **({"extra": extra} if extra else {}),
     }))
 
 

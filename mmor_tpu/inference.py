@@ -75,20 +75,40 @@ class SceneGraphPredictor:
     take_to_history: dict = field(default_factory=lambda: defaultdict(list))
 
     def __post_init__(self):
-        def run(params, batch):
-            # shapes are static at trace time; cache sizes per prompt bucket
-            prompt_len = batch["input_ids"].shape[1]
-            need = (prompt_len + self.cfg.num_multimodal_tokens - 1
-                    + self.cfg.max_new_tokens)
-            cache_len = -(-need // 128) * 128
-            return generate(
-                self.model, params, batch,
-                max_cache_len=cache_len,
-                max_new_tokens=self.cfg.max_new_tokens,
-                eos_token_id=self.tokenizer.eos_token_id,
-            )
+        # stepwise serving engine: jitted prefill per (batch, cache-bucket)
+        # plus one donated-cache decode step; packed cache buffers recycle
+        # between generations of the same shape (models/mm2sg.py)
+        from mmor_tpu.models.llama import LlamaModel, make_decode_step
 
-        self._generate = jax.jit(run)
+        self._prefills: dict = {}
+        self._buffers: dict = {}
+        self._step = make_decode_step(LlamaModel(self.cfg.llama))
+
+    def _cache_len_for(self, prompt_len: int) -> int:
+        need = (prompt_len + self.cfg.num_multimodal_tokens - 1
+                + self.cfg.max_new_tokens)
+        return -(-need // 128) * 128
+
+    def _generate(self, params, batch):
+        from mmor_tpu.models.mm2sg import generate_stepwise, make_prefill
+
+        cache_len = self._cache_len_for(batch["input_ids"].shape[1])
+        key = (batch["input_ids"].shape[0], cache_len)
+        if key not in self._prefills:
+            self._prefills[key] = make_prefill(self.model,
+                                               max_cache_len=cache_len)
+        tokens, bufs = generate_stepwise(
+            self.model, params, batch,
+            max_cache_len=cache_len,
+            max_new_tokens=self.cfg.max_new_tokens,
+            eos_token_id=self.tokenizer.eos_token_id,
+            prefill_fn=self._prefills[key],
+            step_fn=self._step,
+            cache_buffers=self._buffers.pop(key, None),
+        )
+        if bufs is not None:
+            self._buffers[key] = bufs
+        return tokens
 
     # ---------------------------------------------------------------- #
     # batch assembly

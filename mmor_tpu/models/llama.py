@@ -497,10 +497,19 @@ def greedy_decode_hostloop(
         step_fn = make_decode_step(model)
     tok = jnp.argmax(prompt_logits[:, -1, :], axis=-1).astype(jnp.int32)
     toks = [tok]
-    for _ in range(max_new_tokens - 1):
+    for i in range(max_new_tokens - 1):
         tok, cache = step_fn(params, cache, tok[:, None])
         toks.append(tok)
+        # periodic host sync: stop once every sequence hit EOS (serving
+        # outputs are usually far shorter than the budget); the sync also
+        # bounds the async in-flight queue
+        if eos_token_id >= 0 and (i + 1) % 64 == 0:
+            if bool(np.all(np.asarray(tok) == eos_token_id)):
+                break
     out = np.asarray(jnp.stack(toks, axis=1))
+    if out.shape[1] < max_new_tokens:  # early stop: pad with EOS
+        out = np.pad(out, ((0, 0), (0, max_new_tokens - out.shape[1])),
+                     constant_values=eos_token_id)
     # post-hoc EOS padding (greedy_decode's in-loop `done` semantics)
     for b in range(batch):
         hits = np.nonzero(out[b] == eos_token_id)[0]

@@ -275,8 +275,11 @@ def generate(
 
 
 def alloc_cache_buffers(cfg: MM2SGConfig, batch: int, max_cache_len: int):
-    """Preallocated packed KV stacks for the donated-buffer prefill path."""
+    """Preallocated packed KV stacks for the donated-buffer prefill path.
+    None for unquantized caches (those flow through build_cache's pad)."""
     lc = cfg.llama
+    if not lc.kv_quant:
+        return None
     d4 = lc.head_dim // 4
     shape = (lc.n_layers, batch, lc.n_heads, d4, max_cache_len)
     sshape = (lc.n_layers, batch, lc.n_heads, max_cache_len)
@@ -368,5 +371,5 @@ def generate_stepwise(
         recycled = (final_cache["k"], final_cache["k_s"],
                     final_cache["v"], final_cache["v_s"])
     else:
-        recycled = (final_cache["k"], final_cache["v"])
+        recycled = None  # unquantized prefill allocates in-program
     return tokens, recycled
