@@ -72,8 +72,19 @@ def real_batches(args, cfg: DVISConfig, t: int, n_targets: int = 25):
         while len(frames) < t:
             frames.append(frames[-1])
             pan.append(pan[-1])
-        images = normalize_pixels(np.stack(frames))
+        frames_u8 = np.stack(frames).astype(np.uint8)
         pan = np.stack(pan)
+        if getattr(args, "augment", False):
+            import random as _random
+
+            from mmor_tpu.data.video_mapper import apply_train_augmentations
+
+            frames_u8, pan = apply_train_augmentations(
+                frames_u8, pan, _random.Random(int(rng.integers(1 << 31))),
+                min_sizes=(args.min_size,), max_size=args.max_size,
+                crop_hw=None, photometric=args.photometric,
+                rotation=args.rotation)
+        images = normalize_pixels(frames_u8.astype(np.float32))
         h4, w4 = images.shape[1] // 4, images.shape[2] // 4
         ids = [i for i in np.unique(pan) if i != 0][:n_targets]
         masks = np.zeros((1, n_targets, t, h4, w4), np.float32)
@@ -110,6 +121,14 @@ def main(argv=None):
     p.add_argument("--weighting", default=None, choices=[None, "linear", "log"])
     p.add_argument("--save_every", type=int, default=10000)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="clip-consistent resize/flip (+ optional extras)")
+    p.add_argument("--min_size", type=int, default=480)
+    p.add_argument("--max_size", type=int, default=1333)
+    p.add_argument("--photometric", action="store_true",
+                   help="brightness/contrast/saturation 0.9-1.1 per clip")
+    p.add_argument("--rotation", action="store_true",
+                   help="[-15,15] deg clip-consistent rotation p=0.5")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 

@@ -77,3 +77,49 @@ def test_batch_vmap(tiny_ptv3):
     assert out.shape == (2, cfg.out_dim)
     single = model.apply(params, pts0, valid0)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-5)
+
+
+def test_curve_neighborhood_locality():
+    """The stem's k=3 depthwise mix along the serialized curve stands in for
+    spconv's submanifold 3x3x3 aggregation (models/ptv3.py docstring). That
+    analogy is only sound if curve-adjacent points are SPATIALLY adjacent —
+    quantify it: for dense and for clustered clouds, most consecutive pairs
+    in hilbert/z order must fall within a Chebyshev-2 voxel neighborhood
+    (i.e. inside the 5x5x5 hull around the 3x3x3 kernel's support)."""
+    from mmor_tpu.ops.serialization import encode
+
+    rng = np.random.default_rng(0)
+
+    def locality(coords, order):
+        code = np.asarray(encode(jnp.asarray(coords, jnp.int32), order))
+        idx = np.argsort(code, kind="stable")
+        sorted_coords = coords[idx]
+        cheb = np.abs(np.diff(sorted_coords, axis=0)).max(axis=1)
+        return (cheb <= 2).mean(), np.median(cheb)
+
+    # dense block: every voxel of a 16^3 grid occupied
+    g = np.stack(np.meshgrid(*([np.arange(16)] * 3), indexing="ij"), -1)
+    dense = g.reshape(-1, 3)
+    frac_h, med_h = locality(dense, "hilbert")
+    frac_z, med_z = locality(dense, "z")
+    # hilbert steps are unit steps by construction on a dense grid
+    assert med_h == 1 and frac_h == 1.0
+    assert frac_z > 0.85, frac_z  # z-order takes occasional long jumps
+
+    # clustered cloud (realistic OR scene: a few dense blobs). Sparse at
+    # grid resolution, so judge curve steps RELATIVE to each point's true
+    # nearest neighbor: the curve mix aggregates neighborhoods about as
+    # local as a spatial kernel could (ratio ~1 = perfect).
+    centers = rng.uniform(0, 800, (6, 3))
+    pts = np.concatenate([
+        c + rng.normal(0, 20, (300, 3)) for c in centers
+    ]).clip(0, 1023).astype(np.int32)
+    code = np.asarray(encode(jnp.asarray(pts, jnp.int32), "hilbert"))
+    idx = np.argsort(code, kind="stable")
+    cheb = np.abs(np.diff(pts[idx], axis=0)).max(axis=1)
+    d = np.abs(pts[:, None] - pts[None]).max(-1).astype(np.float64)
+    np.fill_diagonal(d, 1e9)
+    nn = d.min(1)
+    ratio = cheb / np.maximum(nn[idx][:-1], 1)
+    assert np.median(ratio) <= 2.5, np.median(ratio)  # measured 1.75
+    assert (ratio <= 3).mean() > 0.7  # measured 0.81
