@@ -97,7 +97,7 @@ def panoptic_metric():
 def main():
     preset = os.environ.get("MMOR_TPU_BENCH_PRESET", "7b")
     quant = os.environ.get("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
-    default_batch = "22" if quant else "1"  # raw-input ceiling; 24 fits with MMOR_TPU_BENCH_RAW=0
+    default_batch = "20" if quant else "1"  # raw-input ceiling; 24 fits with MMOR_TPU_BENCH_RAW=0
     batch_size = int(os.environ.get("MMOR_TPU_BENCH_BATCH", default_batch))
     new_tokens = int(os.environ.get("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
     prompt_len = int(os.environ.get("MMOR_TPU_BENCH_PROMPT", "128"))
@@ -111,7 +111,8 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             llama=dataclasses.replace(cfg.llama, weight_quant=True,
-                                      kv_quant=True, fused_qkv=fused),
+                                      kv_quant=True, fused_qkv=fused,
+                                      ffn_pad=256),  # 11008 -> 11264 tiling
         )
     # raw uint8 frames at native camera resolution, preprocessed on device
     # inside the jit'd generate (BASELINE fused-preprocessing requirement)

@@ -91,10 +91,13 @@ def build_predictor(
         from mmor_tpu.models.llama import quantize_llama_params
 
         lm = params["params"]["language_model"]
-        params["params"]["language_model"] = quantize_llama_params(lm)
+        ffn_pad = (-cfg.llama.ffn_dim) % 1024  # clean tiling (LlamaConfig.ffn_pad)
+        params["params"]["language_model"] = quantize_llama_params(
+            lm, ffn_pad=ffn_pad)
         cfg = dataclasses.replace(
             cfg,
-            llama=dataclasses.replace(cfg.llama, weight_quant=True, kv_quant=True),
+            llama=dataclasses.replace(cfg.llama, weight_quant=True,
+                                      kv_quant=True, ffn_pad=ffn_pad),
         )
         model = MM2SG(cfg)
     return SceneGraphPredictor(

@@ -82,10 +82,11 @@ def convert(args, cfg: MM2SGConfig | None = None):
     if args.quantize:
         from mmor_tpu.models.llama import quantize_llama_params
 
+        ffn_pad = (-cfg.llama.ffn_dim) % 1024  # LlamaConfig.ffn_pad tiling
         params["params"]["language_model"] = quantize_llama_params(
-            params["params"]["language_model"]
+            params["params"]["language_model"], ffn_pad=ffn_pad
         )
-        print("quantized decoder weights to int8")
+        print(f"quantized decoder weights to packed int8 (ffn_pad={ffn_pad})")
 
     save_pytree(Path(args.output), params)
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

@@ -32,6 +32,11 @@ class LlamaConfig:
     remat: bool = False
     weight_quant: bool = False  # int8 weights (serving; see ops/quantized_matmul)
     quant_int8_mxu: bool = True  # int8xint8 MXU path (vs bf16-dequant MXU)
+    # pad the ffn dim (gate/up outputs, down input) with zero channels:
+    # 11008's divisors force tiny matmul tiles (344 grid steps for down_proj
+    # at ~5us DMA latency each = ~1.4 ms/call); 11264 = 11*1024 tiles cleanly.
+    # Zero gate channels -> silu(0)=0 -> exact numerics.
+    ffn_pad: int = 0
     fused_qkv: bool = False  # fuse q/k/v and gate/up projections (serving)
     kv_quant: bool = False  # int8 KV cache (serving; halves cache memory)
 

@@ -140,6 +140,7 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="attn_norm")(x)
         q_width = cfg.n_heads * cfg.head_dim
         kv_width = cfg.n_kv_heads * cfg.head_dim
+        ffn = cfg.ffn_dim + cfg.ffn_pad  # zero-padded channels, exact (config.py)
         if cfg.fused_qkv:
             # one weight stream instead of three — matvec decode is
             # bandwidth-bound, and fewer/larger reads pipeline better
@@ -214,11 +215,11 @@ class LlamaBlock(nn.Module):
 
         h = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="mlp_norm")(x)
         if cfg.fused_qkv:
-            gate_up = dense(2 * cfg.ffn_dim, "gate_up_proj")(h)
-            gate, up = gate_up[..., : cfg.ffn_dim], gate_up[..., cfg.ffn_dim :]
+            gate_up = dense(2 * ffn, "gate_up_proj")(h)
+            gate, up = gate_up[..., :ffn], gate_up[..., ffn:]
         else:
-            gate = dense(cfg.ffn_dim, "gate_proj")(h)
-            up = dense(cfg.ffn_dim, "up_proj")(h)
+            gate = dense(ffn, "gate_proj")(h)
+            up = dense(ffn, "up_proj")(h)
         x = x + dense(cfg.dim, "down_proj")(nn.silu(gate) * up)
         return (x, caches, layer_idx + 1), per_layer_out
 
@@ -536,7 +537,7 @@ def fuse_llama_params(params: dict) -> dict:
     return tree
 
 
-def quantize_llama_params(params: dict) -> dict:
+def quantize_llama_params(params: dict, ffn_pad: int = 0) -> dict:
     """bf16/f32 LlamaModel params -> packed-int8 tree for weight_quant=True.
 
     Blocks' stacked (L, in, out) kernels quantize per layer and pack
@@ -554,6 +555,18 @@ def quantize_llama_params(params: dict) -> dict:
         if name not in blocks:
             continue
         kernel = blocks[name].pop("kernel")
+        if ffn_pad:
+            # zero-pad ffn channels for clean tiling (LlamaConfig.ffn_pad)
+            if name in ("gate_proj", "up_proj"):
+                kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, ffn_pad)))
+            elif name == "gate_up_proj":
+                l, d, f2 = kernel.shape
+                kernel = jnp.pad(
+                    kernel.reshape(l, d, 2, f2 // 2),
+                    ((0, 0), (0, 0), (0, 0), (0, ffn_pad)),
+                ).reshape(l, d, f2 + 2 * ffn_pad)
+            elif name == "down_proj":
+                kernel = jnp.pad(kernel, ((0, 0), (0, ffn_pad), (0, 0)))
         w_q, scale = jax.vmap(quantize_weights)(kernel)
         blocks[name] = {"w_p": jax.vmap(pack_int8_rows)(w_q), "scale": scale}
     head = inner["lm_head"].pop("kernel")

@@ -463,7 +463,7 @@ def decode_attention_packed_stack(
     layer_idx: jax.Array,  # () int32
     *,
     sm_scale: float | None = None,
-    head_group: int = 8,
+    head_group: int = 16,
 ) -> jax.Array:
     """Packed decode attention reading layer ``layer_idx`` straight out of
     the full cache stack via scalar-prefetch index maps.
@@ -471,8 +471,11 @@ def decode_attention_packed_stack(
     Keeping the stacks as a scan CARRY and slicing inside the kernel avoids
     both the per-layer dynamic-slice copy (2 x 82 MB/layer at b24) and the
     scan xs/ys cache buffers that OOM'd the step program (2.62 GB HLO temp).
-    ``head_group`` heads share one grid program — decode cost is dominated
-    by per-program overhead, which otherwise scales with B*H.
+    ``head_group`` heads share one grid program — each grid program costs
+    ~5 us of DMA latency, so at B*H programs the launch latency dominated;
+    grouped programs move ~4 MB each and are bandwidth-bound. 16 is the
+    largest group fitting Mosaic's 16 MB scoped-vmem stack (2 x int32 cache
+    blocks, double-buffered).
     """
     b, h, _, d = q.shape
     l = k_stack.shape[0]

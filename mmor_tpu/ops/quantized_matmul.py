@@ -222,9 +222,14 @@ def int8_matmul_packed(
         min_m = 16
 
     block_m = min(block_m, max(min_m, -(-m // min_m) * min_m))
-    # block_kp * 4 is the x-block lane dim -> must be a 128-multiple
+    # block_kp * 4 is the x-block lane dim -> must be a 128-multiple.
+    # Prefer FEW LARGE blocks: each grid step costs ~4-6 us of DMA latency
+    # on this chip, so tiny tiles (e.g. 344 steps for an 11008-K matmul)
+    # dominate decode. Caps keep a weight block <= 8 MB of VMEM.
     block_kp = _largest_divisor(kp, 512, 32)
-    block_n = _largest_divisor(n, 512, 128)
+    # weight block <= 3 MB: Mosaic's scoped-vmem stack limit is 16 MB and
+    # holds the double-buffered weight block + accumulator + x/out tiles
+    block_n = _largest_divisor(n, max(128, (3 << 20) // (block_kp * 4)), 128)
     if m % block_m:
         xq = jnp.pad(xq, ((0, block_m - m % block_m), (0, 0)))
     m_pad = xq.shape[0]
