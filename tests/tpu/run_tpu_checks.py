@@ -71,6 +71,50 @@ def extra_checks():
     print(f"[{status}] int8_matmul W8A8: rel_err={rel:.4f}")
     ok &= rel < 0.02
 
+    # packed int8-in-int32 weight kernel (the serving path)
+    from mmor_tpu.ops.quantized_matmul import int8_matmul_packed, pack_int8_rows
+
+    for (mm_, kk_, nn_) in ((14, 4096, 11264), (24, 11264, 4096)):
+        wq2, sc2 = quantize_weights(
+            jax.random.normal(jax.random.PRNGKey(5), (kk_, nn_)) * 0.02)
+        wp2 = pack_int8_rows(wq2)
+        x2 = jax.random.normal(jax.random.PRNGKey(6), (mm_, kk_), jnp.bfloat16)
+        for mx in (True, False):
+            got2 = int8_matmul_packed(x2, wp2, sc2, int8_mxu=mx)
+            want2 = x2.astype(jnp.float32) @ (
+                wq2.astype(jnp.float32) * sc2[None, :])
+            rel2 = float(jnp.max(jnp.abs(got2.astype(jnp.float32) - want2))
+                         / jnp.max(jnp.abs(want2)))
+            status = "OK " if rel2 < 0.02 else "FAIL"
+            print(f"[{status}] int8_matmul_packed {mm_}x{kk_}x{nn_} "
+                  f"mxu={mx}: rel_err={rel2:.4f}")
+            ok &= rel2 < 0.02
+
+    # packed-KV decode attention (stacked, scalar-prefetch, head groups)
+    from mmor_tpu.models.llama import quantize_kv
+    from mmor_tpu.ops.attention import decode_attention_packed_stack
+
+    l2, b2, h2, t2, d2 = 2, 3, 32, 512, 128
+    kq2 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q2 = jax.random.normal(kq2[0], (b2, h2, 1, d2), jnp.float32)
+    ks2 = jax.random.normal(kq2[1], (l2, b2, h2, t2, d2), jnp.float32)
+    vs2 = jax.random.normal(kq2[2], (l2, b2, h2, t2, d2), jnp.float32)
+    k_p2, k_s2 = quantize_kv(ks2)
+    v_p2, v_s2 = quantize_kv(vs2)
+    mask2 = jnp.ones((b2, t2), jnp.int32).at[:, :5].set(0)
+    got3 = decode_attention_packed_stack(
+        q2.astype(jnp.bfloat16), k_p2, v_p2, k_s2, v_s2, mask2,
+        jnp.asarray(1))
+    want3 = mha_reference(q2, ks2[1], vs2[1],
+                          segment_ids=jnp.ones((b2, 1), jnp.int32),
+                          kv_segment_ids=mask2)
+    rel3 = float(jnp.max(jnp.abs(got3.astype(jnp.float32)
+                                 - want3.astype(jnp.float32)))
+                 / jnp.max(jnp.abs(want3)))
+    status = "OK " if rel3 < 0.05 else "FAIL"  # int8 KV quant level
+    print(f"[{status}] decode_attention_packed_stack: rel_err={rel3:.4f}")
+    ok &= rel3 < 0.05
+
     shapes = ((16, 24), (8, 12))
     n, m, d, lq, p = 1, 4, 32, 64, 4
     s = sum(h * w for h, w in shapes)
