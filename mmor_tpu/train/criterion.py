@@ -266,6 +266,33 @@ def _consistent_solve(cost: np.ndarray, first_frame: np.ndarray,
     return out
 
 
+def _consistent_match_device(cost, first, valid):
+    """On-device consistent matching for runtimes without host callbacks:
+    frames in order, instances first-appearing at frame f auction-match
+    against still-free queries (same greedy-over-frames structure as
+    ``_consistent_solve``; each frame's assignment is eps-optimal)."""
+    from mmor_tpu.ops.matching import auction_match
+
+    b, t, q, n = cost.shape
+    eps = 1e-4 * jnp.maximum(jnp.max(jnp.abs(cost)), 1.0)
+    out = jnp.full((b, n), -1, jnp.int32)
+    used = jnp.zeros((b, q), bool)
+    big = 1e9
+    for f in range(t):  # static clip length
+        sel = valid & (first == f)  # (B, N)
+        # pass eps from the REAL cost scale: the used-query mask inflates
+        # the matrix to 1e9 and would wreck the auto-derived eps
+        c = jnp.where(used[:, :, None], big, cost[:, f])
+        assign = auction_match(c, sel, eps=eps)
+        assign = jnp.where(sel, assign, -1)
+        out = jnp.where(sel, assign, out)
+        hit = jax.nn.one_hot(
+            jnp.where(assign >= 0, assign, q), q + 1, dtype=bool
+        )[..., :q].any(axis=1)
+        used = used | hit
+    return out
+
+
 def consistent_match(
     cfg: CriterionConfig, outputs, targets, key,
     matcher_outputs=None,
@@ -286,6 +313,11 @@ def consistent_match(
     first = jnp.argmax(frame_valid.astype(jnp.int32), axis=-1)  # (B, N)
     first = jnp.where(jnp.any(frame_valid, -1), first, t)
     b, n = first.shape
+    from mmor_tpu.ops.matching import _default_impl
+
+    if _default_impl() == "auction":  # no host callbacks (axon)
+        return _consistent_match_device(
+            cost.astype(jnp.float32), first, targets["valid"])
     return jax.pure_callback(
         _consistent_solve,
         jax.ShapeDtypeStruct((b, n), jnp.int32),

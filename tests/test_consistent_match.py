@@ -78,3 +78,35 @@ def test_matcher_outputs_guide_the_match():
         cfg, weak, targets, jax.random.PRNGKey(4), matcher_outputs=guide
     ))
     assert assign[0, 0] == 1
+
+
+def test_device_consistent_match_matches_callback():
+    """The on-device auction fallback (no-host-callback runtimes) must agree
+    with the scipy greedy-over-frames solver on assignment cost."""
+    import numpy as np
+
+    from mmor_tpu.train.criterion import (
+        _consistent_match_device, _consistent_solve,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        b, t, q, n = 2, 4, 12, 6
+        cost = rng.normal(size=(b, t, q, n)).astype(np.float32)
+        first = rng.integers(0, t, size=(b, n)).astype(np.int32)
+        valid = rng.random((b, n)) < 0.85
+        ref = _consistent_solve(cost, first, valid)
+        got = np.asarray(_consistent_match_device(
+            jnp.asarray(cost), jnp.asarray(first), jnp.asarray(valid)))
+        for i in range(b):
+            assert np.all(got[i][~valid[i]] == -1)
+            rows = got[i][valid[i]]
+            assert np.all(rows >= 0)
+            assert len(set(rows.tolist())) == len(rows)
+            # greedy structure identical -> same per-frame groups; compare
+            # total assignment cost (auction is eps-optimal per frame)
+            c_got = sum(cost[i, first[i, k], got[i, k], k]
+                        for k in range(n) if valid[i, k])
+            c_ref = sum(cost[i, first[i, k], ref[i, k], k]
+                        for k in range(n) if valid[i, k])
+            assert c_got <= c_ref + 1e-2 + 1e-3 * abs(c_ref), (trial, c_got, c_ref)
