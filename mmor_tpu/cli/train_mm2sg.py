@@ -76,6 +76,9 @@ def main(argv=None):
     p.add_argument("--init_from", default=None, help="curriculum init run dir")
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways (reference: HF Trainer/DeepSpeed "
+                        "multi-GPU; here a ('data','model') jax mesh)")
     args = p.parse_args(argv)
 
     tokenizer = load_tokenizer(args.tokenizer)
@@ -99,11 +102,21 @@ def main(argv=None):
                                           total_steps=args.steps,
                                           grad_accum=args.grad_accum))
     lora_cfg = LoraConfig(rank=args.lora_rank, alpha=args.lora_alpha)
-    step_fn, state = tr.make_lora_train_step(
-        model, tx, lora_cfg, params, vocab_weights=vocab_weights,
-        vision_unfreeze_last_n=args.unfreeze_vision_layers,
-    )
-    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    mesh = None
+    if args.dp > 1:
+        from mmor_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.dp)
+        step_fn, state = tr.make_sharded_lora_train_step(
+            mesh, model, tx, lora_cfg, params, vocab_weights=vocab_weights,
+            vision_unfreeze_last_n=args.unfreeze_vision_layers,
+        )
+    else:
+        step_fn, state = tr.make_lora_train_step(
+            model, tx, lora_cfg, params, vocab_weights=vocab_weights,
+            vision_unfreeze_last_n=args.unfreeze_vision_layers,
+        )
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     run_dir = Path(args.run_dir)
     start_step = 0
@@ -123,6 +136,10 @@ def main(argv=None):
     while step < args.steps:
         for batch in data.grouped_batches(args.batch_size):
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                from mmor_tpu.parallel.mesh import shard_batch
+
+                jbatch = shard_batch(mesh, jbatch)
             state, metrics = step_fn(state, jbatch)
             step += 1
             if step % 10 == 0 or step == args.steps:

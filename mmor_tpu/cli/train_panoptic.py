@@ -33,18 +33,23 @@ from mmor_tpu.utils.checkpoint import (
 )
 
 
-def synthetic_batches(cfg: DVISConfig, t: int, h: int, w: int, n_targets: int = 4):
+def synthetic_batches(cfg: DVISConfig, t: int, h: int, w: int,
+                      n_targets: int = 4, batch: int = 1):
     rng = np.random.default_rng(0)
     while True:
-        images = rng.standard_normal((t, h, w, 3)).astype(np.float32)
-        masks = np.zeros((1, n_targets, t, h // 4, w // 4), np.float32)
-        masks[0, 0, :, : h // 8] = 1.0
+        images = rng.standard_normal((batch * t, h, w, 3)).astype(np.float32)
+        masks = np.zeros((batch, n_targets, t, h // 4, w // 4), np.float32)
+        masks[:, 0, :, : h // 8] = 1.0
+        labels = np.zeros((batch, n_targets), np.int32)
+        labels[:, 0] = 1
+        valid = np.zeros((batch, n_targets), bool)
+        valid[:, 0] = True
         yield {
             "images": jnp.asarray(images),
             "targets": {
-                "labels": jnp.asarray([[1] + [0] * (n_targets - 1)], jnp.int32),
+                "labels": jnp.asarray(labels),
                 "masks": jnp.asarray(masks),
-                "valid": jnp.asarray([[True] + [False] * (n_targets - 1)]),
+                "valid": jnp.asarray(valid),
             },
         }
 
@@ -130,6 +135,9 @@ def main(argv=None):
     p.add_argument("--rotation", action="store_true",
                    help="[-15,15] deg clip-consistent rotation p=0.5")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways (reference: train_net_video.py "
+                        "--num-gpus; here a ('data','model') jax mesh)")
     args = p.parse_args(argv)
 
     cfg = DVISConfig.tiny() if args.tiny else DVISConfig()
@@ -155,16 +163,32 @@ def main(argv=None):
                  json.loads(Path(args.class_freqs).read_text()).items()}
         class_weights = build_class_weights(crit, freqs, args.weighting)
 
-    step_fn, state, rebuild = make_panoptic_train_step(
-        model, tcfg, params, class_weights=class_weights
-    )
-    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    mesh = None
+    if args.dp > 1:
+        from mmor_tpu.parallel.mesh import make_mesh
+        from mmor_tpu.train.panoptic_trainer import (
+            make_sharded_panoptic_train_step,
+        )
+
+        mesh = make_mesh(n_data=args.dp)
+        step_fn, state, rebuild = make_sharded_panoptic_train_step(
+            mesh, model, tcfg, params, class_weights=class_weights
+        )
+    else:
+        step_fn, state, rebuild = make_panoptic_train_step(
+            model, tcfg, params, class_weights=class_weights
+        )
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     batches = (synthetic_batches(cfg, t, h, w) if args.synthetic
                else real_batches(args, cfg, t))
     key = jax.random.PRNGKey(0)
     for step, batch in enumerate(batches, start=1):
         key, k = jax.random.split(key)
+        if mesh is not None:
+            from mmor_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, k)
         if step % 20 == 0 or step == args.steps or step == 1:
             print(json.dumps({"step": step, **{m: float(v) for m, v in

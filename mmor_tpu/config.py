@@ -39,6 +39,13 @@ class LlamaConfig:
     ffn_pad: int = 0
     fused_qkv: bool = False  # fuse q/k/v and gate/up projections (serving)
     kv_quant: bool = False  # int8 KV cache (serving; halves cache memory)
+    # tensor-parallel segment count for the FUSED projections: the fused
+    # output columns are laid out in `tp_segments` groups, each holding one
+    # shard's q|k|v (or gate|up) slice, so sharding the output dim over a
+    # `model` mesh axis of this size never crosses an internal q/k/v split.
+    # 1 = plain [q|k|v] layout (single chip). Build fused params with
+    # ``fuse_llama_params(params, tp_segments=...)`` to match.
+    tp_segments: int = 1
 
     @property
     def head_dim(self) -> int:

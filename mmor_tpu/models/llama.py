@@ -145,9 +145,21 @@ class LlamaBlock(nn.Module):
             # one weight stream instead of three — matvec decode is
             # bandwidth-bound, and fewer/larger reads pipeline better
             qkv = dense(q_width + 2 * kv_width, "qkv_proj")(h)
-            q = qkv[..., :q_width]
-            k = qkv[..., q_width : q_width + kv_width]
-            v = qkv[..., q_width + kv_width :]
+            S = cfg.tp_segments
+            if S > 1:
+                # segment-ordered layout [q_0 k_0 v_0 | q_1 k_1 v_1 | ...]:
+                # a `model`-axis shard of the output dim lands on whole
+                # segments, so each chip's slice is its own heads' q/k/v and
+                # the reshape below stays shard-local under GSPMD.
+                qw, kw = q_width // S, kv_width // S
+                seg = qkv.reshape(batch, seq, S, qw + 2 * kw)
+                q = seg[..., :qw].reshape(batch, seq, q_width)
+                k = seg[..., qw : qw + kw].reshape(batch, seq, kv_width)
+                v = seg[..., qw + kw :].reshape(batch, seq, kv_width)
+            else:
+                q = qkv[..., :q_width]
+                k = qkv[..., q_width : q_width + kv_width]
+                v = qkv[..., q_width + kv_width :]
         else:
             q = dense(q_width, "q_proj")(h)
             k = dense(kv_width, "k_proj")(h)
@@ -216,7 +228,14 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(cfg.norm_eps, cfg.dtype, cfg.param_dtype, name="mlp_norm")(x)
         if cfg.fused_qkv:
             gate_up = dense(2 * ffn, "gate_up_proj")(h)
-            gate, up = gate_up[..., :ffn], gate_up[..., ffn:]
+            S = cfg.tp_segments
+            if S > 1:
+                fw = ffn // S
+                seg = gate_up.reshape(batch, seq, S, 2 * fw)
+                gate = seg[..., :fw].reshape(batch, seq, ffn)
+                up = seg[..., fw:].reshape(batch, seq, ffn)
+            else:
+                gate, up = gate_up[..., :ffn], gate_up[..., ffn:]
         else:
             gate = dense(ffn, "gate_proj")(h)
             up = dense(ffn, "up_proj")(h)
@@ -519,32 +538,54 @@ def greedy_decode_hostloop(
     return jnp.asarray(out), cache
 
 
-def fuse_llama_params(params: dict) -> dict:
+def _segment_concat(kernels: list[jax.Array], segments: int) -> jax.Array:
+    """Concatenate (L, D, N_i) kernels along the output dim in
+    ``segments`` interleaved groups: [a_0 b_0 c_0 | a_1 b_1 c_1 | ...].
+    With segments=1 this is a plain concat."""
+    if segments == 1:
+        return jnp.concatenate(kernels, axis=-1)
+    parts = []
+    for s in range(segments):
+        for kern in kernels:
+            n = kern.shape[-1]
+            assert n % segments == 0, (n, segments)
+            c = n // segments
+            parts.append(kern[..., s * c : (s + 1) * c])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def fuse_llama_params(params: dict, tp_segments: int = 1) -> dict:
     """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj kernels (for
-    ``fused_qkv=True``). Concatenation is along the output dim, matching the
-    block's slicing order (q | k | v, gate | up)."""
+    ``fused_qkv=True``). With ``tp_segments`` > 1, output columns are laid
+    out in segment groups (see ``LlamaConfig.tp_segments``) so a `model`-axis
+    shard of the fused dim holds whole per-shard q|k|v / gate|up slices."""
     tree = jax.tree.map(lambda x: x, params)
     inner = tree["params"] if "params" in tree else tree
     blocks = inner["blocks"]
-    qkv = jnp.concatenate(
-        [blocks.pop(n)["kernel"] for n in ("q_proj", "k_proj", "v_proj")], axis=-1
+    qkv = _segment_concat(
+        [blocks.pop(n)["kernel"] for n in ("q_proj", "k_proj", "v_proj")],
+        tp_segments,
     )
     blocks["qkv_proj"] = {"kernel": qkv}
-    gate_up = jnp.concatenate(
-        [blocks.pop(n)["kernel"] for n in ("gate_proj", "up_proj")], axis=-1
+    gate_up = _segment_concat(
+        [blocks.pop(n)["kernel"] for n in ("gate_proj", "up_proj")],
+        tp_segments,
     )
     blocks["gate_up_proj"] = {"kernel": gate_up}
     return tree
 
 
-def quantize_llama_params(params: dict, ffn_pad: int = 0) -> dict:
+def quantize_llama_params(params: dict, ffn_pad: int = 0,
+                          tp_segments: int = 1) -> dict:
     """bf16/f32 LlamaModel params -> packed-int8 tree for weight_quant=True.
 
     Blocks' stacked (L, in, out) kernels quantize per layer and pack
     4 int8 rows per int32 (full-rate HBM streaming, see
     ops/quantized_matmul.pack_int8_rows); lm_head quantizes whole;
     embeddings and norms stay as-is. Handles both the split and the fused
-    (qkv_proj / gate_up_proj) projection layouts.
+    (qkv_proj / gate_up_proj) projection layouts; ``tp_segments`` must match
+    the value the fused kernels were built with (``fuse_llama_params``) so
+    the ffn zero-padding lands inside each segment's gate/up chunk.
     """
     tree = jax.tree.map(lambda x: x, params)  # shallow copy
     inner = tree["params"] if "params" in tree else tree
@@ -561,9 +602,11 @@ def quantize_llama_params(params: dict, ffn_pad: int = 0) -> dict:
                 kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, ffn_pad)))
             elif name == "gate_up_proj":
                 l, d, f2 = kernel.shape
+                S = tp_segments
+                assert f2 % (2 * S) == 0 and ffn_pad % S == 0
                 kernel = jnp.pad(
-                    kernel.reshape(l, d, 2, f2 // 2),
-                    ((0, 0), (0, 0), (0, 0), (0, ffn_pad)),
+                    kernel.reshape(l, d, 2 * S, f2 // (2 * S)),
+                    ((0, 0), (0, 0), (0, 0), (0, ffn_pad // S)),
                 ).reshape(l, d, f2 + 2 * ffn_pad)
             elif name == "down_proj":
                 kernel = jnp.pad(kernel, ((0, 0), (0, ffn_pad), (0, 0)))

@@ -41,6 +41,7 @@ def pipeline_apply(
     n_micro: int,
     axis: str = "pipe",
     data_axis: str | None = None,
+    param_specs=None,
 ) -> jax.Array:
     """Run x through all L layers as a P-stage pipeline of L/P layers each.
 
@@ -49,7 +50,10 @@ def pipeline_apply(
     a transpose rule, so ``jax.grad`` through this gives pipeline-parallel
     training. Pass ``data_axis`` to compose with data parallelism: the
     microbatch batch dim shards over that axis while layers pipeline over
-    ``axis`` (DP x PP on one mesh; TP composes via parallel/tp.py specs).
+    ``axis``. For DP x TP x PP, pass ``param_specs`` (a pytree of
+    PartitionSpecs additionally splitting projection dims on a ``model``
+    axis) and a ``layer_fn`` that psums over that axis — see
+    parallel/dp_tp_pp.py.
     """
     n_stages = mesh.shape[axis]
     batch = x.shape[0]
@@ -83,7 +87,7 @@ def pipeline_apply(
         # only the last stage banked non-zeros; psum replicates its outputs
         return jax.lax.psum(outs, axis)
 
-    spec_params = jax.tree.map(
+    spec_params = param_specs if param_specs is not None else jax.tree.map(
         lambda v: P(axis, *([None] * (v.ndim - 1))), stacked_params)
     micro_spec = P(None, data_axis) if data_axis else P()
     try:  # jax >= 0.8

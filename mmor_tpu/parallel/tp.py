@@ -22,13 +22,22 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path regex, spec builder). Kernel layouts: blocks are stacked (L, in, out);
-# lm_head is (in, out).
+# lm_head is (in, out). The FUSED serving projections (qkv_proj /
+# gate_up_proj) shard their output dim too — valid because the model lays
+# the fused columns out in `model`-axis segment groups when
+# ``LlamaConfig.tp_segments == mesh.shape['model']`` (each shard's slice is
+# its own heads' q|k|v / gate|up; see fuse_llama_params). Packed ``w_p``
+# tensors are (L, K/4, N): output-dim sharding is unchanged, and input-dim
+# sharding splits K in 4-row units aligned with the activation's K shards.
 TP_RULES: tuple[tuple[str, P], ...] = (
-    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, None, "model")),
+    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj|qkv_proj|gate_up_proj)/kernel$",
+     P(None, None, "model")),
     (r".*blocks/(o_proj|down_proj)/kernel$", P(None, "model", None)),
-    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_[qp]$", P(None, None, "model")),
+    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj|qkv_proj|gate_up_proj)/w_[qp]$",
+     P(None, None, "model")),
     (r".*blocks/(o_proj|down_proj)/w_[qp]$", P(None, "model", None)),
-    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$", P(None, "model")),
+    (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj|qkv_proj|gate_up_proj)/scale$",
+     P(None, "model")),
     (r".*lm_head/kernel$", P(None, "model")),
     (r".*lm_head/w_[qp]$", P(None, "model")),
     (r".*lm_head/scale$", P("model")),
@@ -64,3 +73,38 @@ def shard_params(mesh: Mesh, params):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s), params, tp_param_shardings(mesh, params)
     )
+
+
+def tp_cache_shardings(mesh: Mesh, cache: dict, data_axis: str | None = None):
+    """NamedShardings for a decode KV cache: the HEAD axis shards on
+    ``model`` (matching the q/k/v head shards), batch optionally on
+    ``data``; masks/positions follow the batch.
+
+    Cache layouts (models/llama.py): packed quant stacks are
+    (L, B, H, D/4, T) int32 with (L, B, H, T) scales; unquantized stacks are
+    (L, B, H, T, Dh). ``kv_mask`` is (B, T); ``write_pos`` scalar;
+    ``tok_pos`` (B,).
+    """
+    m = mesh.shape.get("model", 1)
+    d = data_axis
+
+    def spec_for(key, leaf):
+        if key in ("k", "v"):
+            if leaf.ndim == 5 and leaf.shape[2] % m == 0:
+                return NamedSharding(mesh, P(None, d, "model", None, None))
+        elif key in ("k_s", "v_s"):
+            if leaf.ndim == 4 and leaf.shape[2] % m == 0:
+                return NamedSharding(mesh, P(None, d, "model", None))
+        elif key == "kv_mask":
+            return NamedSharding(mesh, P(d, None))
+        elif key == "tok_pos":
+            return NamedSharding(mesh, P(d))
+        return NamedSharding(mesh, P())
+
+    return {k: spec_for(k, v) for k, v in cache.items()}
+
+
+def shard_cache(mesh: Mesh, cache: dict, data_axis: str | None = None):
+    """Place a decode cache according to ``tp_cache_shardings``."""
+    shardings = tp_cache_shardings(mesh, cache, data_axis)
+    return {k: jax.device_put(v, shardings[k]) for k, v in cache.items()}

@@ -312,3 +312,37 @@ def make_panoptic_train_step(
         return new_state, metrics
 
     return step_fn, state, rebuild
+
+
+def make_sharded_panoptic_train_step(
+    mesh,
+    model: DVISPlus,
+    cfg: PanopticTrainConfig,
+    params,
+    class_weights=None,
+):
+    """Data-parallel panoptic step over the mesh's ``data`` axis.
+
+    The reference trains DP via detectron2's ``--num-gpus`` launcher
+    (`train_net_video.py:412-414`); here the batch (images with the clip
+    axis folded into the batch dim, per-clip targets) shards on ``data``,
+    stage-trainable params replicate, and XLA inserts the gradient
+    all-reduce over ICI. Clips are independent samples, so sharding the
+    batch axis is exact — each device matches/criterions its own clips.
+
+    Returns (jitted step, state ON THE MESH, rebuild). Both the B and B*T
+    leading axes must be divisible by the data-axis size.
+    """
+    from mmor_tpu.parallel.mesh import batch_sharding, replicate, replicated
+
+    step_fn, state, rebuild = make_panoptic_train_step(
+        model, cfg, params, class_weights=class_weights
+    )
+    state = replicate(mesh, state)
+    rep = replicated(mesh)
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(rep, batch_sharding(mesh), rep),
+        donate_argnums=(0,),
+    )
+    return jitted, state, rebuild

@@ -278,3 +278,43 @@ def make_lora_train_step(
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return step_fn, state
+
+
+def make_sharded_lora_train_step(
+    mesh: Mesh,
+    model: MM2SG,
+    tx,
+    lora_cfg: "lora_lib.LoraConfig",
+    params,
+    trainable_patterns: tuple[str, ...] = DEFAULT_TRAINABLE,
+    vocab_weights=None,
+    vision_unfreeze_last_n: int | None = None,
+):
+    """Data-parallel LoRA step over the mesh's ``data`` axis.
+
+    The reference trains this path via HF Trainer + DeepSpeed ZeRO-2 on
+    ``--num-gpus`` (README training command); here the batch shards on
+    ``data``, the LoRA/trainable state replicates, and XLA's SPMD partitioner
+    inserts the gradient all-reduce over ICI. (TP of the frozen decoder under
+    LoRA is possible but unnecessary at 7B serving scale — LoRA grads touch
+    only adapters and the small multimodal modules.)
+
+    Returns (jitted step, state ON THE MESH). Shard batches with
+    ``parallel.mesh.shard_batch`` before calling.
+    """
+    from mmor_tpu.parallel.mesh import batch_sharding, replicate, replicated
+
+    step_fn, state = make_lora_train_step(
+        model, tx, lora_cfg, params,
+        trainable_patterns=trainable_patterns,
+        vocab_weights=vocab_weights,
+        vision_unfreeze_last_n=vision_unfreeze_last_n,
+    )
+    state = replicate(mesh, state)
+    rep = replicated(mesh)
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(rep, batch_sharding(mesh)),
+        donate_argnums=(0,),
+    )
+    return jitted, state
