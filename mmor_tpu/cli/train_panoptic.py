@@ -138,6 +138,8 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel ways (reference: train_net_video.py "
                         "--num-gpus; here a ('data','model') jax mesh)")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="clips per step (synthetic path; must divide by --dp)")
     args = p.parse_args(argv)
 
     cfg = DVISConfig.tiny() if args.tiny else DVISConfig()
@@ -180,8 +182,8 @@ def main(argv=None):
         )
         step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
-    batches = (synthetic_batches(cfg, t, h, w) if args.synthetic
-               else real_batches(args, cfg, t))
+    batches = (synthetic_batches(cfg, t, h, w, batch=args.batch_size)
+               if args.synthetic else real_batches(args, cfg, t))
     key = jax.random.PRNGKey(0)
     for step, batch in enumerate(batches, start=1):
         key, k = jax.random.split(key)

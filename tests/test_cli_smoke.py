@@ -55,3 +55,23 @@ def test_evaluate_downstream_cli(capsys):
     out = capsys.readouterr().out
     report = json.loads(out[out.index("{"):])
     assert report["total"] == 4
+
+
+def test_train_mm2sg_cli_dp(tmp_path):
+    """2-way data-parallel mesh smoke (VERDICT round-2 #5: the user-facing
+    CLI accepts a mesh, not just the library step)."""
+    from mmor_tpu.cli.train_mm2sg import main
+
+    main(["--synthetic", "2", "--preset", "tiny", "--steps", "2",
+          "--batch_size", "2", "--save_every", "2", "--dp", "2",
+          "--run_dir", str(tmp_path / "run_dp")])
+    assert (tmp_path / "run_dp" / "checkpoint-2").exists()
+
+
+def test_train_panoptic_cli_dp(tmp_path):
+    from mmor_tpu.cli.train_panoptic import main
+
+    main(["--synthetic", "--tiny", "--steps", "1", "--frames", "2",
+          "--batch_size", "2", "--dp", "2", "--save_every", "1",
+          "--run_dir", str(tmp_path / "pan_dp"), "--stage", "ctvis"])
+    assert (tmp_path / "pan_dp" / "checkpoint-1" / "state").exists()

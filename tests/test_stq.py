@@ -65,3 +65,44 @@ def test_miou_and_vc():
     pred_flicker[1][:] = 2  # one flickering frame
     assert video_consistency(gt, pred_flicker, n=2) < 1.0
     assert miou(gt, pred_flicker, 3)["miou"] < 1.0
+
+
+def test_vss_evaluator_dump_and_score(tmp_path):
+    """VSS harness: VSPW-layout PNG dump with id remap + self-contained
+    mIoU/VC scoring (reference vss_eval.py dumps only)."""
+    import numpy as np
+    from PIL import Image
+
+    from mmor_tpu.eval.vss_eval import VSSEvaluator
+
+    rng = np.random.default_rng(0)
+    t, h, w = 4, 16, 16
+    gt = rng.integers(0, 3, size=(t, h, w)).astype(np.uint8)
+    gt_dir = tmp_path / "gt"
+    for i in range(t):
+        (gt_dir / "vid0").mkdir(parents=True, exist_ok=True)
+        Image.fromarray(gt[i]).save(gt_dir / "vid0" / f"f{i:03d}.png")
+
+    ev = VSSEvaluator(tmp_path / "pred", contiguous_id_to_dataset_id=None)
+    names = [f"f{i:03d}.jpg" for i in range(t)]
+    ev.process("vid0", names, gt)  # perfect prediction
+    assert (tmp_path / "pred" / "vid0" / "f000.png").exists()
+    res = ev.evaluate(gt_dir=gt_dir, num_classes=3)
+    assert res["mIoU"] > 0.999
+    assert res["VC2"] > 0.999
+    # no GT -> dump-only harness, like the reference
+    assert ev.evaluate() == {}
+
+
+def test_vss_evaluator_id_remap(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from mmor_tpu.eval.vss_eval import VSSEvaluator
+
+    pred = np.zeros((1, 4, 4), np.uint8)
+    pred[0, :2] = 1
+    ev = VSSEvaluator(tmp_path / "p", contiguous_id_to_dataset_id={0: 10, 1: 20})
+    ev.process("v", ["a.png"], pred)
+    img = np.asarray(Image.open(tmp_path / "p" / "v" / "a.png"))
+    assert set(np.unique(img)) == {10, 20}

@@ -59,7 +59,9 @@ def timeit(name, jfn, args, iters=3, per=1, bytes_per=None):
 def chained(once, x):
     def run(x):
         def body(i, acc):
-            xp = (x * (1.0 + acc * 1e-38)).astype(x.dtype)
+            # data-dependent no-op perturbation so CSE can't hoist the body
+            # (works for float AND int inputs: the int cast lands on 0)
+            xp = x + (acc * 1e-38).astype(x.dtype)
             return once(xp).astype(jnp.float32)
         return jax.lax.fori_loop(0, REPEATS, body, jnp.zeros((), jnp.float32))
     return jax.jit(run), (x,)
@@ -68,6 +70,19 @@ def chained(once, x):
 # --------------------------------------------------------------------------
 # part: xread
 # --------------------------------------------------------------------------
+
+MXU8 = os.environ.get("BM_MXU8", "1") == "1"
+
+
+def _mm(x, w8):
+    if MXU8:  # int8 x int8 -> int32 on the MXU (the serving path)
+        return jax.lax.dot_general(
+            x, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x, w8.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
 
 def _kern_stack(xt_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k):
     s = pl.program_id(0)
@@ -79,9 +94,7 @@ def _kern_stack(xt_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k):
 
     w8 = pltpu.bitcast(w_ref[...], jnp.int8)
     x = xt_ref[kk]  # (M, CK) leading-axis dynamic index into resident stack
-    acc_ref[...] += jax.lax.dot_general(
-        x, w8.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    acc_ref[...] += _mm(x, w8)
 
     @pl.when(kk == n_k - 1)
     def _():
@@ -99,9 +112,7 @@ def _kern_dslice(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k):
 
     w8 = pltpu.bitcast(w_ref[...], jnp.int8)
     x = x_ref[:, pl.dslice(kk * CK, CK)]  # lane-dim dynamic slice (known bad)
-    acc_ref[...] += jax.lax.dot_general(
-        x, w8.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    acc_ref[...] += _mm(x, w8)
 
     @pl.when(kk == n_k - 1)
     def _():
@@ -110,7 +121,6 @@ def _kern_dslice(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k):
 
 
 def xread_part(key):
-    mp = max(32, -(-M // 32) * 32) if False else M  # keep M as-is (bf16 path)
     n_k, n_n = K // CK, N // BN
     wq = jax.random.randint(key, (K, N), -127, 128, jnp.int8)
     wp = jax.jit(pack_int8_rows)(wq)
@@ -119,14 +129,16 @@ def xread_part(key):
     x = jax.random.normal(key, (M, K), jnp.bfloat16)
     wbytes = K * N
 
-    # a) BlockSpec-fed (library kernel, bf16-MXU path to isolate x reads)
+    # a) BlockSpec-fed (library kernel, serving MXU mode)
     def once_a(xp):
-        return int8_matmul_packed(xp, wp, sc, int8_mxu=False
+        return int8_matmul_packed(xp, wp, sc, int8_mxu=MXU8
                                   ).astype(jnp.float32).sum()
     timeit("a) blockspec-fed x", *chained(once_a, x), bytes_per=wbytes)
 
-    mpad = max(16, -(-M // 16) * 16)
-    xt = jnp.zeros((n_k, mpad, CK), jnp.bfloat16)
+    if MXU8:  # kernels consume pre-quantized int8 activations
+        x = jnp.clip(jnp.round(x * 4.0), -127, 127).astype(jnp.int8)
+    mpad = max(32, -(-M // 32) * 32) if MXU8 else max(16, -(-M // 16) * 16)
+    xt = jnp.zeros((n_k, mpad, CK), x.dtype)
     xt = xt.at[:, :M].set(x.reshape(M, n_k, CK).transpose(1, 0, 2))
 
     # b) resident tile stack, leading-axis dynamic read
@@ -149,7 +161,7 @@ def xread_part(key):
     timeit("b) resident stack, x_ref[kk]", *chained(once_b, xt),
            bytes_per=wbytes)
 
-    xr = jnp.zeros((mpad, K), jnp.bfloat16).at[:M].set(x)
+    xr = jnp.zeros((mpad, K), x.dtype).at[:M].set(x)
 
     # c) resident 2-D, lane-dim dslice (round-2 failure mode)
     def once_c(xp):
@@ -189,7 +201,7 @@ def overhead_part(key):
             out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
         )(xp)
 
-    for n_calls in (10, 100):
+    for n_calls in (8, 32):
         def once(xp, n=n_calls):
             h = xp
             for _ in range(n):
@@ -201,11 +213,11 @@ def overhead_part(key):
     # same but pure-XLA ops for comparison
     def once_xla(xp):
         h = xp
-        for _ in range(100):
+        for _ in range(32):
             h = h * 1.0000001
         return h.astype(jnp.float32).sum()
-    dt = timeit("100 chained XLA multiplies", *chained(once_xla, x))
-    print(f"   -> {dt / 100 * 1e6:8.1f} us/op", flush=True)
+    dt = timeit("32 chained XLA multiplies", *chained(once_xla, x))
+    print(f"   -> {dt / 32 * 1e6:8.1f} us/op", flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -304,12 +316,71 @@ def nibble_part(key):
            bytes_per=K * N)
 
 
+# --------------------------------------------------------------------------
+# part: rowrw (sublane-dynamic single-row read/write on resident scratch)
+# --------------------------------------------------------------------------
+
+def _kern_rowrw(q_ref, k_ref, o_ref, buf_ref, *, b, dyn):
+    s = pl.program_id(0)
+    if dyn:
+        bi = s % b
+        hg = s // b
+        q = q_ref[hg, pl.dslice(bi, 1), :]       # (1, 2048) sublane-dyn read
+    else:
+        q = q_ref[0, 0:1, :]
+    k8 = pltpu.bitcast(k_ref[...], jnp.int8)     # (G*32*4=G,128?,T)
+    # per-head matvec over the block, as decode attention does
+    acc = jnp.zeros((1, k8.shape[-1]), jnp.float32)
+    g_heads = k8.shape[0]
+    for g in range(g_heads):
+        qg = q[:, g * 128:(g + 1) * 128].astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            qg, k8[g].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    row = jnp.broadcast_to(acc[:, :1], (1, q_ref.shape[-1]))
+    if dyn:
+        buf_ref[hg, pl.dslice(bi, 1), :] = row    # sublane-dyn write
+    else:
+        buf_ref[0, 0:1, :] = row
+
+    @pl.when(s == pl.num_programs(0) - 1)
+    def _():
+        o_ref[...] = buf_ref[...]
+
+
+def rowrw_part(key):
+    b, hgn, g, t = 24, 2, 16, 1024
+    q = jax.random.normal(key, (hgn, b, g * 128), jnp.bfloat16)
+    kp = jax.random.randint(key, (hgn * b, g, 32, t), -2**30, 2**30, jnp.int32)
+    kv_bytes = hgn * b * g * 128 * t
+
+    for dyn in (False, True):
+        def once(qp, dyn=dyn):
+            out = pl.pallas_call(
+                functools.partial(_kern_rowrw, b=b, dyn=dyn),
+                grid=(hgn * b,),
+                in_specs=[
+                    pl.BlockSpec((hgn, b, g * 128), lambda s: (0, 0, 0)),
+                    pl.BlockSpec((1, g, 32, t), lambda s: (s, 0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((hgn, b, g * 128),
+                                       lambda s: (0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((hgn, b, g * 128), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((hgn, b, g * 128), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(qp, kp)
+            return out.astype(jnp.float32).sum()
+        name = "dyn sublane row r/w" if dyn else "static row r/w (baseline)"
+        timeit(name, *chained(once, q), bytes_per=kv_bytes)
+
+
 def main():
     part = os.environ.get("BM_PART", "xread")
     key = jax.random.PRNGKey(0)
     print(f"M={M} K={K} N={N} part={part}", flush=True)
     dict(xread=xread_part, overhead=overhead_part,
-         nibble=nibble_part)[part](key)
+         nibble=nibble_part, rowrw=rowrw_part)[part](key)
 
 
 if __name__ == "__main__":
