@@ -104,6 +104,10 @@ def main():
 
     cfg = _preset(preset)
     fused = os.environ.get("MMOR_TPU_BENCH_FUSED", "1") == "1"
+    # whole-decode-step megakernel (one pallas call for all 32 layers per
+    # token — ops/mega_decode.py); MMOR_TPU_BENCH_MEGA=0 reverts to the
+    # round-2 per-op stepwise path
+    mega = os.environ.get("MMOR_TPU_BENCH_MEGA", "0") == "1" and quant and fused
     if quant:
         # packed-int8 weights (6.7 GB) + packed-int8 KV cache; fused qkv /
         # gate-up halves the kernel count per layer — decode is per-kernel-
@@ -112,6 +116,7 @@ def main():
             cfg,
             llama=dataclasses.replace(cfg.llama, weight_quant=True,
                                       kv_quant=True, fused_qkv=fused,
+                                      mega_decode=mega,
                                       ffn_pad=256),  # 11008 -> 11264 tiling
         )
     # raw uint8 frames at native camera resolution, preprocessed on device
@@ -149,7 +154,13 @@ def main():
         from mmor_tpu.models.mm2sg import generate_stepwise, make_prefill
 
         prefill = make_prefill(model, max_cache_len=cache_len)
-        lm_step = make_decode_step(LlamaModel(cfg.llama))
+        if mega:
+            from mmor_tpu.ops.mega_decode import MegaServer
+
+            lm_step = MegaServer(
+                cfg.llama, {"params": params["params"]["language_model"]})
+        else:
+            lm_step = make_decode_step(LlamaModel(cfg.llama))
         state = {"bufs": None}  # donated cache buffers recycle across iters
 
         def run(p, b):

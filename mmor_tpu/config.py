@@ -39,6 +39,11 @@ class LlamaConfig:
     ffn_pad: int = 0
     fused_qkv: bool = False  # fuse q/k/v and gate/up projections (serving)
     kv_quant: bool = False  # int8 KV cache (serving; halves cache memory)
+    # serve decode through the whole-step megakernel (ops/mega_decode.py):
+    # ONE pallas call runs all layers per token. Requires weight_quant +
+    # kv_quant + fused_qkv; changes the V-cache layout to T-packed
+    # ((T/4, Dh) int32 words) so the prefill writes it accordingly.
+    mega_decode: bool = False
     # tensor-parallel segment count for the FUSED projections: the fused
     # output columns are laid out in `tp_segments` groups, each holding one
     # shard's q|k|v (or gate|up) slice, so sharding the output dim over a

@@ -82,7 +82,13 @@ class SceneGraphPredictor:
 
         self._prefills: dict = {}
         self._buffers: dict = {}
-        self._step = make_decode_step(LlamaModel(self.cfg.llama))
+        if self.cfg.llama.mega_decode:
+            from mmor_tpu.ops.mega_decode import MegaServer
+
+            lm_params = {"params": self.params["params"]["language_model"]}
+            self._step = MegaServer(self.cfg.llama, lm_params)
+        else:
+            self._step = make_decode_step(LlamaModel(self.cfg.llama))
 
     def _cache_len_for(self, prompt_len: int) -> int:
         need = (prompt_len + self.cfg.num_multimodal_tokens - 1

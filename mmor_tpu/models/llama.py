@@ -183,7 +183,14 @@ class LlamaBlock(nn.Module):
                 # the preallocated capacity stacks carried through the scan
                 k_stack, ks_stack, v_stack, vs_stack = caches
                 k_q, k_s = quantize_kv(k)  # (B, H, D/4, Tp), (B, H, Tp)
-                v_q, v_s = quantize_kv(v)
+                if cfg.mega_decode:
+                    # megakernel cache: V is T-packed ((T/4, Dh) words) so
+                    # decode's weighted sum is a native (1,T)x(T,Dh) matvec
+                    from mmor_tpu.ops.mega_decode import quantize_kv_tmajor
+
+                    v_q, v_s = quantize_kv_tmajor(v)
+                else:
+                    v_q, v_s = quantize_kv(v)
                 at = lambda c, u: jax.lax.dynamic_update_slice(
                     c, u[None], (layer_idx, 0, 0, 0, 0))
                 at_s = lambda c, u: jax.lax.dynamic_update_slice(
@@ -192,12 +199,20 @@ class LlamaBlock(nn.Module):
                           at(v_stack, v_q), at_s(vs_stack, v_s))
             elif cfg.kv_quant:
                 k_q, k_s = quantize_kv(k)
-                v_q, v_s = quantize_kv(v)
+                if cfg.mega_decode:
+                    from mmor_tpu.ops.mega_decode import quantize_kv_tmajor
+
+                    v_q, v_s = quantize_kv_tmajor(v)
+                else:
+                    v_q, v_s = quantize_kv(v)
                 per_layer_out = (k_q, k_s, v_q, v_s)
             else:
                 per_layer_out = (k, v)
         elif cfg.kv_quant:
             # stacks: (L, B, H, D/4, T) int32 caches + (L, B, H, T) scales
+            assert not cfg.mega_decode, (
+                "mega_decode serves decode through ops/mega_decode."
+                "make_mega_decode_step, not the scanned block")
             k_stack, ks_stack, v_stack, vs_stack = caches
             k_q, k_s = quantize_kv(k)  # (B, H, D/4, 1), (B, H, 1)
             v_q, v_s = quantize_kv(v)
@@ -321,10 +336,13 @@ class LlamaModel(nn.Module):
                 # engine to avoid it, see make_prefill)
                 d4 = cfg.head_dim // 4
                 shape = (cfg.n_layers, batch, cfg.n_heads, d4, prefill_pad_to)
+                vshape = ((cfg.n_layers, batch, cfg.n_heads,
+                           prefill_pad_to // 4, cfg.head_dim)
+                          if cfg.mega_decode else shape)
                 sshape = (cfg.n_layers, batch, cfg.n_heads, prefill_pad_to)
                 init_caches = (
                     jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
-                    jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
+                    jnp.zeros(vshape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
                 )
             (x, filled, _), stacked_kv = self.blocks(
                 (x, init_caches, idx0), positions, segment_ids, None, None)
@@ -394,13 +412,19 @@ def build_cache(
     )
     if cfg.kv_quant:
         # packed caches (L, B, H, D/4, T) int32 + (L, B, H, T) scales;
-        # T is the last axis in both, so padding to capacity is a tail pad
+        # T is the last axis in both, so padding to capacity is a tail pad.
+        # mega_decode stores V T-packed: (L, B, H, T/4, Dh) — pad axis 3.
         k_q, k_s, v_q, v_s = prefill_kv
         if pad:
             pad_last = ((0, 0),) * 4 + ((0, pad),)
             pad_s = ((0, 0),) * 3 + ((0, pad),)
             k_q, k_s = jnp.pad(k_q, pad_last), jnp.pad(k_s, pad_s)
-            v_q, v_s = jnp.pad(v_q, pad_last), jnp.pad(v_s, pad_s)
+            if cfg.mega_decode:
+                assert pad % 4 == 0
+                v_q = jnp.pad(v_q, ((0, 0),) * 3 + ((0, pad // 4), (0, 0)))
+            else:
+                v_q = jnp.pad(v_q, pad_last)
+            v_s = jnp.pad(v_s, pad_s)
         cache.update(k=k_q, k_s=k_s, v=v_q, v_s=v_s)
     else:
         k, v = prefill_kv  # (L, B, H, T, Dh)

@@ -282,9 +282,11 @@ def alloc_cache_buffers(cfg: MM2SGConfig, batch: int, max_cache_len: int):
         return None
     d4 = lc.head_dim // 4
     shape = (lc.n_layers, batch, lc.n_heads, d4, max_cache_len)
+    vshape = ((lc.n_layers, batch, lc.n_heads, max_cache_len // 4,
+               lc.head_dim) if lc.mega_decode else shape)
     sshape = (lc.n_layers, batch, lc.n_heads, max_cache_len)
     return (jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
-            jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16))
+            jnp.zeros(vshape, jnp.int32), jnp.ones(sshape, jnp.bfloat16))
 
 
 def make_prefill(model: MM2SG, *, max_cache_len: int):
@@ -357,16 +359,29 @@ def generate_stepwise(
     lm_params = {"params": params["params"]["language_model"]}
     if prefill_fn is None:
         prefill_fn = make_prefill(model, max_cache_len=max_cache_len)
-    if step_fn is None:
+    if step_fn is None and not model.cfg.llama.mega_decode:
         step_fn = make_decode_step(lm)
     if cache_buffers is None:
         cache_buffers = alloc_cache_buffers(
             model.cfg, batch["input_ids"].shape[0], max_cache_len)
     logits, cache = prefill_fn(params, batch, cache_buffers)
-    tokens, final_cache = greedy_decode_hostloop(
-        lm, lm_params, logits, cache, max_new_tokens,
-        eos_token_id=eos_token_id, step_fn=step_fn,
-    )
+    if model.cfg.llama.mega_decode:
+        from mmor_tpu.ops.mega_decode import (
+            MegaServer,
+            greedy_decode_hostloop_mega,
+        )
+
+        server = (step_fn if isinstance(step_fn, MegaServer)
+                  else MegaServer(model.cfg.llama, lm_params))
+        tokens, final_cache = greedy_decode_hostloop_mega(
+            server, logits, cache, max_new_tokens,
+            eos_token_id=eos_token_id,
+        )
+    else:
+        tokens, final_cache = greedy_decode_hostloop(
+            lm, lm_params, logits, cache, max_new_tokens,
+            eos_token_id=eos_token_id, step_fn=step_fn,
+        )
     if model.cfg.llama.kv_quant:
         recycled = (final_cache["k"], final_cache["k_s"],
                     final_cache["v"], final_cache["v_s"])

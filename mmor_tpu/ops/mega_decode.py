@@ -1,0 +1,1059 @@
+"""Single-kernel decode step: ALL decoder layers in one pallas_call.
+
+Round-2 measured decode as per-kernel-overhead bound: ~160 sequential
+pallas/XLA dispatches per token at ~0.1-0.15 ms fixed cost each on this
+chip (CLAUDE.md).  This module collapses the entire 32-layer stack —
+RMSNorms, fused qkv, RoPE, KV quantization, cache attention with the
+current-token term computed inline, o/residual, SwiGLU MLP — into ONE
+pallas call per token, leaving only embed / lm_head / argmax / 4 cache
+column-updates outside (~10 fused XLA ops).
+
+Design rules (probed in tools/perf/bench_megakernel_probe.py):
+
+- ALL weights live in two uniform "tapes" of packed-int8-in-int32 tiles
+  (`pack_int8_rows` layout): tape A holds qkv + gate_up tiles
+  (ck/4, bna), tape B holds o + down tiles (ck/4, bnb).  One BlockSpec
+  operand per tape; index maps walk the tape as the flat in-layer phase
+  counter advances, and PARK on the last tile outside their phase (same
+  index -> no refetch).  Gate/up columns interleave per bna-block
+  ([g_j | u_j]) so the SiLU boundary is block-local.
+- Activations cross phases as 3-D VMEM tile stacks (n_chunks, 32, ck)
+  indexed on the LEADING axis only — round 2 measured lane-dim
+  `pl.dslice` reads of resident scratch serializing Mosaic's pipeline
+  (3.7x slower; ops/fused_mlp.py post-mortem).
+- Activations quantize to int8 per (row, chunk) at phase boundaries; the
+  MXU runs int8 x int8 -> int32 and each accumulation step folds that
+  chunk's row scale (serving numerics = QuantDense's W8A8 path).
+- Attention reads the packed KV stacks exactly like
+  `ops/attention.decode_attention_packed_stack` (keys D-packed (Dh/4, T));
+  VALUES use a NEW T-packed layout (T/4, Dh) so the weighted sum is a
+  native (1,T)x(T,Dh) MXU matvec instead of a mul+lane-reduce per head.
+  The current token's k/v never touch HBM inside the kernel: its
+  attention term is computed inline from VMEM and the quantized column is
+  emitted as a small output for the (single) XLA cache update outside.
+
+Reference anchor: this is `LlamaBlock`'s decode branch (models/llama.py)
+times n_layers; greedy exactness is pinned by tests/tpu checks against
+the unfused serving path.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmor_tpu.config import LlamaConfig
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+@dataclass(frozen=True)
+class MegaGeometry:
+    """Static tiling of the whole-decode-step kernel."""
+
+    n_layers: int
+    dim: int
+    n_heads: int
+    head_dim: int
+    ffn: int          # padded ffn width (cfg.ffn_dim + cfg.ffn_pad)
+    t_cap: int        # KV cache capacity
+    batch: int        # real batch size
+    ck: int = 1024    # K-chunk width (activation tile lanes)
+    bna: int = 2048   # N-block width, tape A (qkv / gate_up)
+    bnb: int = 1024   # N-block width, tape B (o / down)
+    g: int = 8        # attention head group (g * head_dim == ck)
+
+    @property
+    def bp(self) -> int:  # padded batch rows (int8 sublane tile)
+        return max(32, -(-self.batch // 32) * 32)
+
+    @property
+    def q_width(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def wqkv(self) -> int:
+        return 3 * self.q_width  # MHA (n_kv_heads == n_heads)
+
+    @property
+    def nkc(self) -> int:  # K-chunks over dim
+        return self.dim // self.ck
+
+    @property
+    def hg(self) -> int:  # attention groups
+        return self.n_heads // self.g
+
+    @property
+    def nq(self) -> int:  # qkv tile steps
+        return (self.wqkv // self.bna) * self.nkc
+
+    @property
+    def na(self) -> int:  # attention steps
+        return self.batch * self.hg
+
+    @property
+    def no(self) -> int:  # o tile steps
+        return (self.dim // self.bnb) * self.nkc
+
+    @property
+    def ng(self) -> int:  # gate_up tile steps
+        return (2 * self.ffn // self.bna) * self.nkc
+
+    @property
+    def nd(self) -> int:  # down tile steps
+        return (self.ffn // self.ck) * (self.dim // self.bnb)
+
+    @property
+    def steps_per_layer(self) -> int:
+        return 1 + self.nq + self.na + self.no + 1 + self.ng + self.nd
+
+    @property
+    def a_tiles_per_layer(self) -> int:
+        return self.nq + self.ng
+
+    @property
+    def b_tiles_per_layer(self) -> int:
+        return self.no + self.nd
+
+    @property
+    def sa_per_layer(self) -> int:  # scale rows, tape A
+        return self.wqkv // self.bna + 2 * self.ffn // self.bna
+
+    @property
+    def sb_per_layer(self) -> int:
+        return 2 * (self.dim // self.bnb)
+
+    def validate(self):
+        g = self
+        assert g.g * g.head_dim == g.ck, "attention group must span one chunk"
+        assert g.dim % g.ck == 0 and g.ffn % g.ck == 0
+        assert g.q_width % g.bna == 0, "qkv blocks must not straddle q|k|v"
+        assert g.ffn % (g.bna // 2) == 0
+        assert g.dim % g.bnb == 0
+        assert g.ck % 4 == 0 and g.t_cap % 4 == 0
+        assert g.bna % g.head_dim == 0 and g.head_dim % 4 == 0
+        assert g.n_heads % g.g == 0
+
+    @classmethod
+    def from_config(cls, cfg: LlamaConfig, batch: int, t_cap: int,
+                    **kw) -> "MegaGeometry":
+        assert cfg.n_kv_heads == cfg.n_heads, "megakernel assumes MHA"
+        dh = cfg.head_dim
+        dim = cfg.dim
+        ffn = cfg.ffn_dim + cfg.ffn_pad
+        qw = cfg.n_heads * dh
+        if "ck" not in kw:  # auto-tile for small/test configs
+            for cand in (1024, 512, 256, 128, 64, 32, 16):
+                if (cand % dh == 0 and dim % cand == 0 and ffn % cand == 0
+                        and cfg.n_heads % max(1, cand // dh) == 0):
+                    kw["ck"] = cand
+                    break
+        if "g" not in kw:
+            kw["g"] = kw["ck"] // dh
+        if "bna" not in kw:
+            for cand in (2048, 1024, 512, 256, 128, 64, 32):
+                if (qw % cand == 0 and ffn % max(1, cand // 2) == 0
+                        and cand % dh == 0):
+                    kw["bna"] = cand
+                    break
+        if "bnb" not in kw:
+            for cand in (1024, 512, 256, 128, 64, 32):
+                if dim % cand == 0:
+                    kw["bnb"] = cand
+                    break
+        geo = cls(
+            n_layers=cfg.n_layers, dim=dim, n_heads=cfg.n_heads,
+            head_dim=dh, ffn=ffn, t_cap=t_cap, batch=batch, **kw)
+        geo.validate()
+        return geo
+
+
+# ------------------------------------------------------------------ #
+# weight tapes
+# ------------------------------------------------------------------ #
+
+
+def _tile_stack(w_p: jax.Array, ck4: int, bn: int) -> jax.Array:
+    """(K/4, N) packed kernel -> (n_tiles, ck4, bn) with tiles ordered
+    j-major (output block), kk-minor (K chunk) — matching the kernel's
+    in-phase step order t = j * n_k + kk."""
+    kp, n = w_p.shape
+    nk, nj = kp // ck4, n // bn
+    t = w_p.reshape(nk, ck4, nj, bn).transpose(2, 0, 1, 3)  # (nj, nk, ...)
+    return t.reshape(nj * nk, ck4, bn)
+
+
+def _tile_stack_kmajor(w_p: jax.Array, ck4: int, bn: int) -> jax.Array:
+    """Like _tile_stack but for the DOWN phase whose step order is
+    t = j * n_k + kk with n_k = K-chunks — identical ordering; kept for
+    symmetry/clarity."""
+    return _tile_stack(w_p, ck4, bn)
+
+
+def interleave_gate_up(w_p: jax.Array, scale: jax.Array, ffn: int,
+                       half: int) -> tuple[jax.Array, jax.Array]:
+    """Permute fused [gate | up] columns into per-block pairs
+    [g_0 | u_0 | g_1 | u_1 | ...] with each chunk ``half`` wide, so every
+    bna block is [g_j | u_j] and SiLU is block-local in the kernel."""
+    kp, n = w_p.shape
+    assert n == 2 * ffn and ffn % half == 0
+    nb = ffn // half
+    g = w_p[:, :ffn].reshape(kp, nb, half)
+    u = w_p[:, ffn:].reshape(kp, nb, half)
+    w = jnp.stack([g, u], axis=2).reshape(kp, 2 * ffn)
+    sg = scale[:ffn].reshape(nb, half)
+    su = scale[ffn:].reshape(nb, half)
+    s = jnp.stack([sg, su], axis=1).reshape(2 * ffn)
+    return w, s
+
+
+def build_tapes(blocks: dict, geo: MegaGeometry) -> dict:
+    """Quantized `blocks` tree (stacked (L, K/4, N) `w_p` + (L, N) `scale`
+    for qkv_proj / o_proj / gate_up_proj / down_proj) -> kernel operands.
+
+    Returns dict(tape_a, scale_a, tape_b, scale_b, norms) — pure relayouts
+    of the packed int8 weights (no requantization), built once at load
+    time.
+    """
+    ck4 = geo.ck // 4
+    l = geo.n_layers
+    a_tiles, a_scales, b_tiles, b_scales = [], [], [], []
+    gu_w, gu_s = jax.vmap(
+        functools.partial(interleave_gate_up, ffn=geo.ffn, half=geo.bna // 2)
+    )(blocks["gate_up_proj"]["w_p"], blocks["gate_up_proj"]["scale"])
+    for li in range(l):
+        a_tiles.append(_tile_stack(blocks["qkv_proj"]["w_p"][li], ck4, geo.bna))
+        a_tiles.append(_tile_stack(gu_w[li], ck4, geo.bna))
+        a_scales.append(blocks["qkv_proj"]["scale"][li].reshape(-1, geo.bna))
+        a_scales.append(gu_s[li].reshape(-1, geo.bna))
+        b_tiles.append(_tile_stack(blocks["o_proj"]["w_p"][li], ck4, geo.bnb))
+        b_tiles.append(
+            _tile_stack_kmajor(blocks["down_proj"]["w_p"][li], ck4, geo.bnb))
+        b_scales.append(blocks["o_proj"]["scale"][li].reshape(-1, geo.bnb))
+        b_scales.append(blocks["down_proj"]["scale"][li].reshape(-1, geo.bnb))
+    norms = jnp.stack(
+        [blocks["attn_norm"]["scale"], blocks["mlp_norm"]["scale"]], axis=1
+    ).astype(jnp.float32)  # (L, 2, dim)
+    return dict(
+        tape_a=jnp.concatenate(a_tiles, axis=0),
+        scale_a=jnp.concatenate(a_scales, axis=0).astype(jnp.float32)[:, None, :],
+        tape_b=jnp.concatenate(b_tiles, axis=0),
+        scale_b=jnp.concatenate(b_scales, axis=0).astype(jnp.float32)[:, None, :],
+        norms=norms.reshape(l * 2, geo.nkc, geo.ck),
+    )
+
+
+def untile_tapes(tapes: dict, geo: MegaGeometry) -> dict:
+    """Inverse of build_tapes (testing): recover per-projection packed
+    weights {name: (L, K/4, N)} and scales from the tapes."""
+    ck4 = geo.ck // 4
+    out = {}
+    a = tapes["tape_a"].reshape(geo.n_layers, geo.a_tiles_per_layer, ck4,
+                                geo.bna)
+    b = tapes["tape_b"].reshape(geo.n_layers, geo.b_tiles_per_layer, ck4,
+                                geo.bnb)
+    sa = tapes["scale_a"].reshape(geo.n_layers, geo.sa_per_layer, geo.bna)
+    sb = tapes["scale_b"].reshape(geo.n_layers, geo.sb_per_layer, geo.bnb)
+
+    def untile(t, nj, nk, bn):
+        # (tiles, ck4, bn) j-major -> (K/4, N)
+        return (t.reshape(nj, nk, ck4, bn).transpose(1, 2, 0, 3)
+                 .reshape(nk * ck4, nj * bn))
+
+    nqb = geo.wqkv // geo.bna
+    ngb = 2 * geo.ffn // geo.bna
+    out["qkv_proj"] = (
+        jax.vmap(lambda t: untile(t[: geo.nq], nqb, geo.nkc, geo.bna))(a),
+        sa[:, :nqb].reshape(geo.n_layers, -1),
+    )
+    out["gate_up_interleaved"] = (
+        jax.vmap(lambda t: untile(t[geo.nq:], ngb, geo.nkc, geo.bna))(a),
+        sa[:, nqb:].reshape(geo.n_layers, -1),
+    )
+    nob = geo.dim // geo.bnb
+    ndk = geo.ffn // geo.ck
+    out["o_proj"] = (
+        jax.vmap(lambda t: untile(t[: geo.no], nob, geo.nkc, geo.bnb))(b),
+        sb[:, :nob].reshape(geo.n_layers, -1),
+    )
+    out["down_proj"] = (
+        jax.vmap(lambda t: untile(t[geo.no:], nob, ndk, geo.bnb))(b),
+        sb[:, nob:].reshape(geo.n_layers, -1),
+    )
+    return out
+
+
+# ------------------------------------------------------------------ #
+# T-packed V cache (values as (T/4, Dh) int32 so attention's weighted sum
+# is a native (1, T) x (T, Dh) MXU matvec)
+# ------------------------------------------------------------------ #
+
+
+def pack_v_tmajor(v_q: jax.Array) -> jax.Array:
+    """int8 (..., T, D) -> int32 (..., T/4, D): word r packs positions
+    {4r..4r+3}; ``pltpu.bitcast(-> int8)`` restores (..., T, D) row-order."""
+    *lead, t, d = v_q.shape
+    x = v_q.reshape(*lead, t // 4, 4, d).astype(jnp.int32) & 0xFF
+    return (x[..., 0, :] | (x[..., 1, :] << 8)
+            | (x[..., 2, :] << 16) | (x[..., 3, :] << 24))
+
+
+def unpack_v_tmajor(v_p: jax.Array) -> jax.Array:
+    """Inverse of pack_v_tmajor in plain XLA."""
+    *lead, t4, d = v_p.shape
+    parts = [((v_p << (24 - 8 * b)) >> 24).astype(jnp.int8) for b in range(4)]
+    return jnp.stack(parts, axis=-2).reshape(*lead, t4 * 4, d)
+
+
+def quantize_kv_tmajor(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., T, D) float -> (T-packed int32 (..., T/4, D), scales (..., T)
+    bf16). Same per-position symmetric int8 quantization as
+    models/llama.quantize_kv, different packing axis."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return pack_v_tmajor(q), scale[..., 0].astype(jnp.bfloat16)
+
+
+# ------------------------------------------------------------------ #
+# the kernel
+# ------------------------------------------------------------------ #
+
+
+def _mega_kernel(
+    # inputs
+    x_in_ref,      # (nxc, bp, ck) bf16
+    cos_ref,       # (bp, bna) f32  (per-head cos tiled to bna lanes)
+    sin_ref,       # (bp, bna) f32
+    mask_ref,      # (bp, T) int32
+    norm_ref,      # (1, nxc, ck) f32    [l*2 + phase]
+    tape_a_ref,    # (1, ck/4, bna) int32
+    scale_a_ref,   # (1, 1, bna) f32
+    tape_b_ref,    # (1, ck/4, bnb) int32
+    scale_b_ref,   # (1, 1, bnb) f32
+    kq_ref,        # (1, g, dh/4, T) int32
+    ks_ref,        # (1, g, T) bf16
+    vq_ref,        # (1, g, T/4, dh) int32
+    vs_ref,        # (1, g, T) bf16
+    # outputs
+    x_out_ref,     # (1, bp, ck) bf16       [j]
+    knew_ref,      # (1, bp, bna) int8      [l*nkb + (j - qb)]
+    knew_s_ref,    # (1, bp, 128) f32
+    vnew_ref,      # (1, bp, bna) int8
+    vnew_s_ref,    # (1, bp, 128) f32
+    # scratch
+    xs_ref,        # (nxc, bp, ck) f32   residual stream
+    x2s_ref,       # (nxc, bp, ck) f32   post-attention residual
+    hq_ref,        # (nxc, bp, ck) int8  quantized norm output
+    hrs_ref,       # (nxc, bp, 1) f32    per (chunk,row) act scales
+    qatt_ref,      # (hg, bp, ck) int8   roped+quantized q
+    qs_ref,        # (hg, bp, 128) f32   q scales per (row, head-in-group)
+    kcur_ref,      # (hg, bp, ck) bf16   current-token k (dequantized)
+    vcur_ref,      # (hg, bp, ck) bf16   current-token v (dequantized)
+    a8_ref,        # (nxc, bp, ck) int8  attention out, quantized rows
+    ars_ref,       # (nxc, bp, 1) f32
+    m8_ref,        # (ffn/ck, bp, ck) int8
+    mrs_ref,       # (ffn/ck, bp, 1) f32
+    acc_ref,       # (bp, bna) f32
+    *,
+    geo: MegaGeometry,
+    eps: float,
+    sm_scale: float,
+):
+    g = geo
+    l = pl.program_id(0)
+    s = pl.program_id(1)
+    nkc, ck, bna, bnb, dh = g.nkc, g.ck, g.bna, g.bnb, g.head_dim
+    f32 = jnp.float32
+
+    qkv0 = 1
+    att0 = qkv0 + g.nq
+    o0 = att0 + g.na
+    n2 = o0 + g.no
+    gu0 = n2 + 1
+    dn0 = gu0 + g.ng
+    qb = g.q_width // g.bna          # q blocks in qkv phase
+    kb = qb + g.q_width // g.bna     # first v block
+    heads_per_blk = bna // dh
+    grp_per_blk = bna // ck          # attention groups per qkv block
+
+    def quant_rows(x):
+        """f32 (..., rows, lanes) -> (int8, f32 scales (..., rows, 1))."""
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        rs = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(x * (1.0 / rs)), -127, 127).astype(jnp.int8)
+        return q, rs
+
+    def dot8(x8, w8):
+        return jax.lax.dot_general(
+            x8, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(f32)
+
+    # ---------------- norm steps (attn_norm at s==0, mlp_norm at s==n2)
+    def norm_step(src_ref):
+        x = src_ref[...]  # (nxc, bp, ck) f32
+        var = jnp.sum(x * x, axis=(0, 2), keepdims=True) / g.dim
+        h = x * jax.lax.rsqrt(var + eps) * norm_ref[0][:, None, :]
+        q8, rs = quant_rows(h)
+        hq_ref[...] = q8
+        hrs_ref[...] = rs
+
+    @pl.when(jnp.logical_and(s == 0, l == 0))
+    def _():
+        xs_ref[...] = x_in_ref[...].astype(f32)
+
+    @pl.when(s == 0)
+    def _():
+        norm_step(xs_ref)
+
+    @pl.when(s == n2)
+    def _():
+        norm_step(x2s_ref)
+
+    # ---------------- tape-A matmul phases (qkv, gate_up)
+    in_qkv = jnp.logical_and(s >= qkv0, s < att0)
+    in_gu = jnp.logical_and(s >= gu0, s < dn0)
+    ta = jnp.where(in_gu, s - gu0, jnp.clip(s - qkv0, 0, g.nq - 1))
+    j_a = ta // nkc
+    kk_a = ta % nkc
+    in_a = jnp.logical_or(in_qkv, in_gu)
+
+    @pl.when(jnp.logical_and(in_a, kk_a == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(in_a)
+    def _():
+        w8 = pltpu.bitcast(tape_a_ref[...], jnp.int8)[0]  # (ck, bna)
+        acc_ref[...] += dot8(hq_ref[kk_a], w8) * hrs_ref[kk_a]
+
+    fin_a = jnp.logical_and(in_a, kk_a == nkc - 1)
+
+    # -- qkv finish: rope, stash q/kcur/vcur, emit quantized new-KV column
+    @pl.when(jnp.logical_and(fin_a, in_qkv))
+    def _():
+        out = acc_ref[...] * scale_a_ref[0]  # (bp, bna) f32
+        pos = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) % dh
+        half = dh // 2
+        rot = jnp.where(pos < half,
+                        -pltpu.roll(out, bna - half, axis=1),
+                        pltpu.roll(out, half, axis=1))
+        roped = out * cos_ref[...] + rot * sin_ref[...]
+
+        @pl.when(j_a < qb)  # q blocks
+        def _():
+            q8, rs = quant_rows(
+                (roped * sm_scale).reshape(g.bp, heads_per_blk, dh))
+            q8 = q8.reshape(g.bp, bna)
+            for grp in range(grp_per_blk):
+                qatt_ref[j_a * grp_per_blk + grp] = (
+                    q8[:, grp * ck:(grp + 1) * ck])
+                gpb = ck // dh
+                qs_ref[j_a * grp_per_blk + grp] = jnp.pad(
+                    rs[:, grp * gpb:(grp + 1) * gpb, 0],
+                    ((0, 0), (0, 128 - gpb)))
+
+        @pl.when(jnp.logical_and(j_a >= qb, j_a < kb))  # k blocks
+        def _():
+            q8, rs = quant_rows(roped.reshape(g.bp, heads_per_blk, dh))
+            deq = (q8.astype(f32) * rs).reshape(g.bp, bna)
+            knew_ref[0] = q8.reshape(g.bp, bna)
+            knew_s_ref[0] = jnp.pad(rs[..., 0],
+                                    ((0, 0), (0, 128 - heads_per_blk)))
+            for grp in range(grp_per_blk):
+                kcur_ref[(j_a - qb) * grp_per_blk + grp] = (
+                    deq[:, grp * ck:(grp + 1) * ck].astype(jnp.bfloat16))
+
+        @pl.when(j_a >= kb)  # v blocks (no rope)
+        def _():
+            q8, rs = quant_rows(out.reshape(g.bp, heads_per_blk, dh))
+            deq = (q8.astype(f32) * rs).reshape(g.bp, bna)
+            vnew_ref[0] = q8.reshape(g.bp, bna)
+            vnew_s_ref[0] = jnp.pad(rs[..., 0],
+                                    ((0, 0), (0, 128 - heads_per_blk)))
+            for grp in range(grp_per_blk):
+                vcur_ref[(j_a - kb) * grp_per_blk + grp] = (
+                    deq[:, grp * ck:(grp + 1) * ck].astype(jnp.bfloat16))
+
+    # -- gate_up finish: block-local SiLU (block layout [g_j | u_j])
+    @pl.when(jnp.logical_and(fin_a, in_gu))
+    def _():
+        gu = acc_ref[...] * scale_a_ref[0]
+        half = bna // 2
+        gate = gu[:, :half]
+        up = gu[:, half:]
+        m = (gate * jax.nn.sigmoid(gate)) * up  # (bp, bna/2 == ck)
+        q8, rs = quant_rows(m)
+        m8_ref[j_a] = q8
+        mrs_ref[j_a] = rs
+
+    # ---------------- attention
+    in_att = jnp.logical_and(s >= att0, s < o0)
+    a_i = jnp.clip(s - att0, 0, g.na - 1)
+    b_i = a_i % g.batch
+    hg_i = a_i // g.batch
+
+    @pl.when(in_att)
+    def _():
+        k8 = pltpu.bitcast(kq_ref[0], jnp.int8)   # (g, dh, T)
+        v8 = pltpu.bitcast(vq_ref[0], jnp.int8)   # (g, T, dh)
+        qrow = qatt_ref[hg_i, pl.dslice(b_i, 1), :]        # (1, ck) int8
+        qsrow = qs_ref[hg_i, pl.dslice(b_i, 1), :]         # (1, 128) f32
+        kcrow = kcur_ref[hg_i, pl.dslice(b_i, 1), :].astype(f32)
+        vcrow = vcur_ref[hg_i, pl.dslice(b_i, 1), :].astype(f32)
+        mrow = mask_ref[pl.dslice(b_i, 1), :]              # (1, T)
+        parts = []
+        for gi in range(g.g):
+            q8g = qrow[:, gi * dh:(gi + 1) * dh]           # (1, dh) int8
+            qscale = qsrow[0, gi]
+            logits = jax.lax.dot_general(
+                q8g, k8[gi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(f32)
+            logits = logits * (qscale * ks_ref[0, gi:gi + 1, :].astype(f32))
+            logits = jnp.where(mrow != 0, logits, NEG_INF)
+            kcg = kcrow[:, gi * dh:(gi + 1) * dh]
+            lcur = jnp.sum(q8g.astype(f32) * kcg * qscale,
+                           axis=1, keepdims=True)          # (1, 1)
+            mmax = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), lcur)
+            w = jnp.exp(logits - mmax)                     # (1, T)
+            wc = jnp.exp(lcur - mmax)                      # (1, 1)
+            denom = jnp.sum(w, axis=1, keepdims=True) + wc
+            wv = w * vs_ref[0, gi:gi + 1, :].astype(f32)
+            w8, wrs = quant_rows(wv)
+            ov = jax.lax.dot_general(
+                w8, v8[gi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(f32)  # (1, dh)
+            ov = ov * wrs
+            vcg = vcrow[:, gi * dh:(gi + 1) * dh]
+            parts.append((ov + wc * vcg) / denom)
+        row = jnp.concatenate(parts, axis=1)               # (1, ck) f32
+        r8, rrs = quant_rows(row)
+        a8_ref[hg_i, pl.dslice(b_i, 1), :] = r8
+        ars_ref[hg_i, pl.dslice(b_i, 1), :] = rrs
+
+    # ---------------- tape-B matmul phases (o, down)
+    in_o = jnp.logical_and(s >= o0, s < n2)
+    in_dn = s >= dn0
+    in_b = jnp.logical_or(in_o, in_dn)
+    ndk = g.ffn // ck
+    to_ = jnp.clip(s - o0, 0, g.no - 1)
+    td = jnp.clip(s - dn0, 0, g.nd - 1)
+    j_b = jnp.where(in_dn, td // ndk, to_ // nkc)
+    kk_b = jnp.where(in_dn, td % ndk, to_ % nkc)
+    first_b = jnp.where(in_dn, kk_b == 0, kk_b == 0)
+    last_b = jnp.where(in_dn, kk_b == ndk - 1, kk_b == nkc - 1)
+
+    @pl.when(jnp.logical_and(in_b, first_b))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(in_o)
+    def _():
+        w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]  # (ck, bnb)
+        part = dot8(a8_ref[kk_b], w8) * ars_ref[kk_b]
+        acc_ref[:, :bnb] += part
+
+    @pl.when(in_dn)
+    def _():
+        w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]
+        part = dot8(m8_ref[kk_b], w8) * mrs_ref[kk_b]
+        acc_ref[:, :bnb] += part
+
+    @pl.when(jnp.logical_and(in_o, last_b))
+    def _():
+        x2s_ref[j_b] = xs_ref[j_b] + acc_ref[:, :bnb] * scale_b_ref[0]
+
+    @pl.when(jnp.logical_and(in_dn, last_b))
+    def _():
+        xnew = x2s_ref[j_b] + acc_ref[:, :bnb] * scale_b_ref[0]
+        xs_ref[j_b] = xnew
+        x_out_ref[0] = xnew.astype(x_out_ref.dtype)
+
+
+# ------------------------------------------------------------------ #
+# call assembly
+# ------------------------------------------------------------------ #
+
+
+def _make_index_maps(geo: MegaGeometry):
+    g = geo
+    qkv0 = 1
+    att0 = qkv0 + g.nq
+    o0 = att0 + g.na
+    n2 = o0 + g.no
+    gu0 = n2 + 1
+    dn0 = gu0 + g.ng
+    A, Bt = g.a_tiles_per_layer, g.b_tiles_per_layer
+    SA, SB = g.sa_per_layer, g.sb_per_layer
+    nqb = g.wqkv // g.bna
+    nob = g.dim // g.bnb
+    ndk = g.ffn // g.ck
+    qb = g.q_width // g.bna
+    nkb = qb  # k (== v) block count
+
+    def resident3(l, s):
+        return (0, 0, 0)
+
+    def resident2(l, s):
+        return (0, 0)
+
+    def tape_a(l, s):
+        in_gu = s >= gu0
+        ta = jnp.where(in_gu, jnp.clip(s - gu0, 0, g.ng - 1),
+                       jnp.clip(s - qkv0, 0, g.nq - 1))
+        return (l * A + jnp.where(in_gu, g.nq, 0) + ta, 0, 0)
+
+    def scale_a(l, s):
+        in_gu = s >= gu0
+        ta = jnp.where(in_gu, jnp.clip(s - gu0, 0, g.ng - 1),
+                       jnp.clip(s - qkv0, 0, g.nq - 1))
+        return (l * SA + jnp.where(in_gu, nqb, 0) + ta // g.nkc, 0, 0)
+
+    def tape_b(l, s):
+        in_dn = s >= dn0
+        tb = jnp.where(in_dn, jnp.clip(s - dn0, 0, g.nd - 1),
+                       jnp.clip(s - o0, 0, g.no - 1))
+        return (l * Bt + jnp.where(in_dn, g.no, 0) + tb, 0, 0)
+
+    def scale_b(l, s):
+        in_dn = s >= dn0
+        tb = jnp.where(in_dn, jnp.clip(s - dn0, 0, g.nd - 1),
+                       jnp.clip(s - o0, 0, g.no - 1))
+        j = jnp.where(in_dn, tb // ndk, tb // g.nkc)
+        return (l * SB + jnp.where(in_dn, nob, 0) + j, 0, 0)
+
+    def norm(l, s):
+        return (l * 2 + (s >= n2).astype(jnp.int32), 0, 0)
+
+    def kv_idx(l, s):
+        a = jnp.clip(s - att0, 0, g.na - 1)
+        return (l * g.batch + a % g.batch) * g.hg + a // g.batch
+
+    def kq(l, s):
+        return (kv_idx(l, s), 0, 0, 0)
+
+    def ksm(l, s):
+        return (kv_idx(l, s), 0, 0)
+
+    def vq(l, s):
+        return (kv_idx(l, s), 0, 0, 0)
+
+    def x_out(l, s):
+        td = jnp.clip(s - dn0, 0, g.nd - 1)
+        return (jnp.where(s >= dn0, td // ndk, 0), 0, 0)
+
+    def kv_new(l, s):
+        in_qkv = s < att0
+        j = jnp.clip((s - qkv0) // g.nkc - qb, 0, nkb - 1)
+        return (l * nkb + jnp.where(in_qkv, j, nkb - 1), 0, 0)
+
+    return dict(resident3=resident3, resident2=resident2, tape_a=tape_a,
+                scale_a=scale_a, tape_b=tape_b, scale_b=scale_b, norm=norm,
+                kq=kq, ks=ksm, vq=vq, vs=ksm, x_out=x_out, kv_new=kv_new)
+
+
+def mega_decode_layers(
+    x: jax.Array,            # (B, D) current hidden states, bf16
+    tapes: dict,             # build_tapes output
+    cache: dict,             # k/k_s (D-packed) + v/v_s (T-packed) stacks
+    cos: jax.Array,          # (B, head_dim) f32 rope table at each row's pos
+    sin: jax.Array,
+    geo: MegaGeometry,
+    *,
+    eps: float = 1e-5,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+):
+    """Run ALL decoder layers for one decode position in one pallas call.
+
+    Returns (x_out (B, D) bf16 — pre-final-norm hidden states,
+    knew (L, B, H, dh) int8, knew_s (L, B, H) f32,
+    vnew (L, B, H, dh) int8, vnew_s (L, B, H) f32).
+    The caller owns the (single) cache column update.
+    """
+    g = geo
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(g.head_dim))
+    b, d = x.shape
+    assert b == g.batch and d == g.dim
+    bp, ck, bna, bnb = g.bp, g.ck, g.bna, g.bnb
+    dh4 = g.head_dim // 4
+    t4 = g.t_cap // 4
+    lbh = g.n_layers * g.batch * g.hg
+    nkb = g.q_width // g.bna
+
+    xt = x.reshape(b, g.nkc, ck).transpose(1, 0, 2)
+    xt = jnp.pad(xt, ((0, 0), (0, bp - b), (0, 0))).astype(jnp.bfloat16)
+    reps = bna // g.head_dim
+    cosb = jnp.pad(jnp.tile(cos.astype(jnp.float32), (1, reps)),
+                   ((0, bp - b), (0, 0)))
+    sinb = jnp.pad(jnp.tile(sin.astype(jnp.float32), (1, reps)),
+                   ((0, bp - b), (0, 0)))
+    maskb = jnp.pad(cache["kv_mask"].astype(jnp.int32),
+                    ((0, bp - b), (0, 0)))
+    kq = cache["k"].reshape(lbh, g.g, dh4, g.t_cap)
+    ks = cache["k_s"].astype(jnp.bfloat16).reshape(lbh, g.g, g.t_cap)
+    vq = cache["v"].reshape(lbh, g.g, t4, g.head_dim)
+    vs = cache["v_s"].astype(jnp.bfloat16).reshape(lbh, g.g, g.t_cap)
+
+    maps = _make_index_maps(g)
+    f32 = jnp.float32
+    grid = (g.n_layers, g.steps_per_layer)
+    nxc = g.nkc
+    ndk = g.ffn // ck
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((nxc, bp, ck), jnp.bfloat16),          # x_out
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, bna), jnp.int8),  # knew
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, 128), f32),     # knew_s
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, bna), jnp.int8),  # vnew
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, 128), f32),     # vnew_s
+    )
+    kernel = functools.partial(_mega_kernel, geo=g, eps=eps,
+                               sm_scale=sm_scale)
+    x_out, knew, knew_s, vnew, vnew_s = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nxc, bp, ck), maps["resident3"]),    # x_in
+            pl.BlockSpec((bp, bna), maps["resident2"]),        # cos
+            pl.BlockSpec((bp, bna), maps["resident2"]),        # sin
+            pl.BlockSpec((bp, g.t_cap), maps["resident2"]),    # mask
+            pl.BlockSpec((1, nxc, ck), maps["norm"]),          # norms
+            pl.BlockSpec((1, ck // 4, bna), maps["tape_a"]),
+            pl.BlockSpec((1, 1, bna), maps["scale_a"]),
+            pl.BlockSpec((1, ck // 4, bnb), maps["tape_b"]),
+            pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
+            pl.BlockSpec((1, g.g, dh4, g.t_cap), maps["kq"]),
+            pl.BlockSpec((1, g.g, g.t_cap), maps["ks"]),
+            pl.BlockSpec((1, g.g, t4, g.head_dim), maps["vq"]),
+            pl.BlockSpec((1, g.g, g.t_cap), maps["vs"]),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bp, ck), maps["x_out"]),
+            pl.BlockSpec((1, bp, bna), maps["kv_new"]),
+            pl.BlockSpec((1, bp, 128), maps["kv_new"]),
+            pl.BlockSpec((1, bp, bna), maps["kv_new"]),
+            pl.BlockSpec((1, bp, 128), maps["kv_new"]),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((nxc, bp, ck), f32),        # xs
+            pltpu.VMEM((nxc, bp, ck), f32),        # x2s
+            pltpu.VMEM((nxc, bp, ck), jnp.int8),   # hq
+            pltpu.VMEM((nxc, bp, 1), f32),         # hrs
+            pltpu.VMEM((g.hg, bp, ck), jnp.int8),  # qatt
+            pltpu.VMEM((g.hg, bp, 128), f32),      # qs
+            pltpu.VMEM((g.hg, bp, ck), jnp.bfloat16),  # kcur
+            pltpu.VMEM((g.hg, bp, ck), jnp.bfloat16),  # vcur
+            pltpu.VMEM((nxc, bp, ck), jnp.int8),   # a8
+            pltpu.VMEM((nxc, bp, 1), f32),         # ars
+            pltpu.VMEM((ndk, bp, ck), jnp.int8),   # m8
+            pltpu.VMEM((ndk, bp, 1), f32),         # mrs
+            pltpu.VMEM((bp, bna), f32),            # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xt, cosb, sinb, maskb, tapes["norms"], tapes["tape_a"],
+      tapes["scale_a"], tapes["tape_b"], tapes["scale_b"], kq, ks, vq, vs)
+
+    x_new = x_out.transpose(1, 0, 2).reshape(bp, d)[:b]
+    heads_per_blk = bna // g.head_dim
+    def fix(t):  # (L*nkb, bp, bna) -> (L, B, H, dh)
+        t = t.reshape(g.n_layers, nkb, bp, bna)[:, :, :b]
+        t = t.transpose(0, 2, 1, 3)
+        return t.reshape(g.n_layers, b, g.n_heads, g.head_dim)
+    def fix_s(t):  # (L*nkb, bp, 128) -> (L, B, H)
+        t = t.reshape(g.n_layers, nkb, bp, 128)[:, :, :b, :heads_per_blk]
+        return t.transpose(0, 2, 1, 3).reshape(g.n_layers, b, g.n_heads)
+    return x_new, fix(knew), fix_s(knew_s), fix(vnew), fix_s(vnew_s)
+
+
+# ------------------------------------------------------------------ #
+# XLA reference (CPU fallback + numerics oracle for the kernel)
+# ------------------------------------------------------------------ #
+
+
+def _quant_rows_ref(x):
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    rs = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x * (1.0 / rs)), -127, 127)
+    return q, rs  # q kept in f32 (values are exact small ints)
+
+
+def mega_decode_layers_reference(x, tapes, cache, cos, sin,
+                                 geo: MegaGeometry, *, eps=1e-5,
+                                 sm_scale=None):
+    """Plain-XLA emulation of the megakernel's exact arithmetic chain
+    (per-(row,chunk) int8 activations, int8 attention weights, inline
+    current-token term). Runs anywhere; the numerics oracle for
+    ``mega_decode_layers``."""
+    from mmor_tpu.ops.quantized_matmul import unpack_int8_rows
+
+    g = geo
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(g.head_dim))
+    f32 = jnp.float32
+    b = g.batch
+    ck = g.ck
+    un = untile_tapes(tapes, g)
+    w_qkv = jax.vmap(unpack_int8_rows)(un["qkv_proj"][0]).astype(f32)
+    s_qkv = un["qkv_proj"][1]
+    w_gu = jax.vmap(unpack_int8_rows)(un["gate_up_interleaved"][0]).astype(f32)
+    s_gu = un["gate_up_interleaved"][1]
+    w_o = jax.vmap(unpack_int8_rows)(un["o_proj"][0]).astype(f32)
+    s_o = un["o_proj"][1]
+    w_dn = jax.vmap(unpack_int8_rows)(un["down_proj"][0]).astype(f32)
+    s_dn = un["down_proj"][1]
+    norms = tapes["norms"].reshape(g.n_layers, 2, g.dim)
+
+    from mmor_tpu.ops.attention import unpack_kv_heads
+
+    k8_all = unpack_kv_heads(cache["k"]).astype(f32)   # (L,B,H,T,dh)
+    v8_all = unpack_v_tmajor(cache["v"]).astype(f32)   # (L,B,H,T,dh)
+    ks_all = cache["k_s"].astype(f32)
+    vs_all = cache["v_s"].astype(f32)
+    mask = cache["kv_mask"].astype(jnp.int32)
+
+    cosr = jnp.tile(cos.astype(f32), (1, g.dim // g.head_dim))  # (B, D)
+    sinr = jnp.tile(sin.astype(f32), (1, g.dim // g.head_dim))
+    half = g.head_dim // 2
+    pos = jnp.arange(g.dim) % g.head_dim
+
+    def rope(t):  # (B, D)
+        m = t.reshape(b, g.n_heads, g.head_dim)
+        rot = jnp.concatenate([-m[..., half:], m[..., :half]], -1)
+        rot = rot.reshape(b, g.dim)
+        return t * cosr + rot * sinr
+
+    def chunk_quant(h):  # (B, W) -> int values + per-chunk row scales
+        nc = h.shape[1] // ck
+        hc = h.reshape(b, nc, ck)
+        q, rs = _quant_rows_ref(hc)
+        return q, rs  # (B,nc,ck), (B,nc,1)
+
+    def mm_quant(h, w, colscale):
+        """h (B, K) f32 -> quantized-chunk matmul vs int-valued w (K, N)."""
+        q, rs = chunk_quant(h)
+        nc = q.shape[1]
+        acc = jnp.zeros((b, w.shape[1]), f32)
+        for kk in range(nc):
+            part = q[:, kk] @ w[kk * ck:(kk + 1) * ck]
+            acc = acc + part * rs[:, kk]
+        return acc * colscale[None, :]
+
+    x = x.astype(f32)
+    knews, knew_ss, vnews, vnew_ss = [], [], [], []
+    for li in range(g.n_layers):
+        hvar = jnp.mean(x * x, axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(hvar + eps) * norms[li, 0]
+        qkv = mm_quant(h, w_qkv[li], s_qkv[li])
+        q, k, v = jnp.split(qkv, 3, axis=1)
+        q, k = rope(q), rope(k)
+        q8, qs = _quant_rows_ref((q * sm_scale).reshape(b, g.n_heads,
+                                                        g.head_dim))
+        k8n, ksn = _quant_rows_ref(k.reshape(b, g.n_heads, g.head_dim))
+        v8n, vsn = _quant_rows_ref(v.reshape(b, g.n_heads, g.head_dim))
+        kcur = k8n * ksn  # dequantized, matches kernel's kcur
+        vcur = v8n * vsn
+        knews.append(k8n)
+        knew_ss.append(ksn[..., 0])
+        vnews.append(v8n)
+        vnew_ss.append(vsn[..., 0])
+
+        # attention (per batch row, per head)
+        logits = jnp.einsum("bhd,bhtd->bht", q8, k8_all[li])
+        logits = logits * qs * ks_all[li]  # (B,H,T)
+        logits = jnp.where(mask[:, None, :] != 0, logits, NEG_INF)
+        lcur = jnp.sum(q8 * kcur, axis=-1, keepdims=True) * qs  # (B,H,1)
+        mmax = jnp.maximum(jnp.max(logits, -1, keepdims=True), lcur)
+        w_ = jnp.exp(logits - mmax)
+        wc = jnp.exp(lcur - mmax)
+        denom = jnp.sum(w_, -1, keepdims=True) + wc
+        wv = w_ * vs_all[li]
+        w8, wrs = _quant_rows_ref(wv)
+        ov = jnp.einsum("bht,bhtd->bhd", w8, v8_all[li]) * wrs
+        attn = (ov + wc * vcur) / denom  # (B,H,dh)
+        attn = attn.reshape(b, g.dim)
+
+        x2 = x + mm_quant(attn, w_o[li], s_o[li])
+        h2var = jnp.mean(x2 * x2, axis=-1, keepdims=True)
+        h2 = x2 * jax.lax.rsqrt(h2var + eps) * norms[li, 1]
+        gu = mm_quant(h2, w_gu[li], s_gu[li])  # interleaved [g_j|u_j]
+        half_b = g.bna // 2
+        gui = gu.reshape(b, -1, 2, half_b)
+        gate = gui[:, :, 0].reshape(b, g.ffn)
+        up = gui[:, :, 1].reshape(b, g.ffn)
+        m = gate * jax.nn.sigmoid(gate) * up
+        x = x2 + mm_quant(m, w_dn[li], s_dn[li])
+
+    return (x.astype(jnp.bfloat16),
+            jnp.stack(knews).astype(jnp.int8), jnp.stack(knew_ss),
+            jnp.stack(vnews).astype(jnp.int8), jnp.stack(vnew_ss))
+
+
+# ------------------------------------------------------------------ #
+# cache update + full decode step
+# ------------------------------------------------------------------ #
+
+
+def pack_k_column(k8: jax.Array) -> jax.Array:
+    """int8 (L, B, H, dh) -> int32 (L, B, H, dh/4, 1) D-packed column
+    (pack_kv_heads layout: byte b of word r = dh index 4r+b)."""
+    l, b, h, dh = k8.shape
+    w = k8.reshape(l, b, h, dh // 4, 4).astype(jnp.int32) & 0xFF
+    col = (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+           | (w[..., 3] << 24))
+    return col[..., None]
+
+
+def apply_kv_update(cache: dict, knew, knew_s, vnew, vnew_s) -> dict:
+    """Write the new token's quantized K/V column into the cache at
+    ``write_pos`` (one dynamic_update_slice per tensor; V is a T-packed
+    read-modify-write of a single word column) and advance the masks."""
+    wp = cache["write_pos"]
+    b = knew.shape[1]
+    k = jax.lax.dynamic_update_slice(
+        cache["k"], pack_k_column(knew), (0, 0, 0, 0, wp))
+    k_s = jax.lax.dynamic_update_slice(
+        cache["k_s"], knew_s[..., None].astype(cache["k_s"].dtype),
+        (0, 0, 0, wp))
+    # V: byte (wp % 4) of word (wp // 4)
+    word, byte = wp // 4, wp % 4
+    old = jax.lax.dynamic_slice_in_dim(cache["v"], word, 1, axis=3)
+    shift = byte * 8
+    keep = ~(jnp.int32(0xFF) << shift)
+    merged = (old & keep) | (
+        (vnew[:, :, :, None, :].astype(jnp.int32) & 0xFF) << shift)
+    v = jax.lax.dynamic_update_slice(cache["v"], merged, (0, 0, 0, word, 0))
+    v_s = jax.lax.dynamic_update_slice(
+        cache["v_s"], vnew_s[..., None].astype(cache["v_s"].dtype),
+        (0, 0, 0, wp))
+    kv_mask = jax.lax.dynamic_update_slice(
+        cache["kv_mask"], jnp.ones((b, 1), cache["kv_mask"].dtype), (0, wp))
+    return dict(cache, k=k, k_s=k_s, v=v, v_s=v_s, kv_mask=kv_mask,
+                write_pos=wp + 1, tok_pos=cache["tok_pos"] + 1)
+
+
+def rope_tables(tok_pos: jax.Array, head_dim: int, theta: float):
+    """(B,) positions -> (cos (B, dh), sin (B, dh)) in the HF half-rotation
+    layout (concat of the half-frequency table twice)."""
+    half = head_dim // 2
+    inv = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    ang = tok_pos.astype(jnp.float32)[:, None] * inv[None, :]
+    cos = jnp.concatenate([jnp.cos(ang)] * 2, axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang)] * 2, axis=-1)
+    return cos, sin
+
+
+def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
+                          *, interpret: bool = False, donate: bool = True):
+    """Jitted (head_params, tapes, cache, tok (B,1)) -> (nxt (B,), cache).
+
+    head_params = {embed (V, D), final_norm (D,), lm_head_wp (D/4, V),
+    lm_head_scale (V,)}. The cache is DONATED (in-place column updates).
+    One megakernel + lm_head matmul + ~10 fused XLA glue ops per token.
+    """
+    from mmor_tpu.ops.quantized_matmul import int8_matmul_packed
+
+    use_ref = interpret is False and jax.devices()[0].platform not in (
+        "tpu", "axon")
+
+    def step(head_params, tapes, cache, tok):
+        x = jnp.take(head_params["embed"], tok[:, 0], axis=0
+                     ).astype(jnp.bfloat16)
+        cos, sin = rope_tables(cache["tok_pos"], cfg.head_dim,
+                               cfg.rope_theta)
+        run = (mega_decode_layers_reference if use_ref
+               else functools.partial(mega_decode_layers,
+                                      interpret=interpret))
+        x, knew, knew_s, vnew, vnew_s = run(
+            x, tapes, cache, cos, sin, geo, eps=cfg.norm_eps)
+        cache2 = apply_kv_update(cache, knew, knew_s, vnew, vnew_s)
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        h = (x32 * jax.lax.rsqrt(var + cfg.norm_eps)
+             * head_params["final_norm"].astype(jnp.float32))
+        logits = int8_matmul_packed(
+            h.astype(jnp.bfloat16), head_params["lm_head_wp"],
+            head_params["lm_head_scale"], int8_mxu=cfg.quant_int8_mxu)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, cache2
+
+    return jax.jit(step, donate_argnums=(2,) if donate else ())
+
+
+def make_mega_lm(lm_params: dict, geo: MegaGeometry) -> tuple[dict, dict]:
+    """LlamaModel param tree (the inner ``params`` dict with quantized
+    fused blocks) -> (tapes, head_params) for ``make_mega_decode_step``.
+    One-time relayout at engine build."""
+    p = lm_params["params"] if "params" in lm_params else lm_params
+    tapes = jax.jit(functools.partial(build_tapes, geo=geo))(p["blocks"])
+    head = dict(
+        embed=p["embed_tokens"]["embedding"],
+        final_norm=p["final_norm"]["scale"],
+        lm_head_wp=p["lm_head"]["w_p"],
+        lm_head_scale=p["lm_head"]["scale"],
+    )
+    return tapes, head
+
+
+class MegaServer:
+    """Serving bundle for the megakernel decode path: tapes/head built once
+    from the LM params, one jitted step per (batch, cache-capacity) bucket.
+    """
+
+    def __init__(self, cfg: LlamaConfig, lm_params: dict):
+        self.cfg = cfg
+        probe_geo = MegaGeometry.from_config(cfg, batch=1, t_cap=4)
+        self.tapes, self.head = make_mega_lm(lm_params, probe_geo)
+        self._steps: dict = {}
+
+    def step_for(self, batch: int, t_cap: int):
+        key = (batch, t_cap)
+        if key not in self._steps:
+            geo = MegaGeometry.from_config(self.cfg, batch=batch,
+                                           t_cap=t_cap)
+            self._steps[key] = make_mega_decode_step(self.cfg, geo)
+        return self._steps[key]
+
+
+def greedy_decode_hostloop_mega(
+    server: MegaServer,
+    prompt_logits: jax.Array,
+    cache: dict,
+    max_new_tokens: int,
+    *,
+    eos_token_id: int,
+):
+    """Greedy decode via one megakernel call per token (host-driven,
+    donated cache). Semantics match models/llama.greedy_decode_hostloop."""
+    batch = prompt_logits.shape[0]
+    t_cap = cache["k"].shape[-1]
+    step = server.step_for(batch, t_cap)
+    tok = jnp.argmax(prompt_logits[:, -1, :], axis=-1).astype(jnp.int32)
+    toks = [tok]
+    for i in range(max_new_tokens - 1):
+        tok, cache = step(server.head, server.tapes, cache, tok[:, None])
+        toks.append(tok)
+        if eos_token_id >= 0 and (i + 1) % 64 == 0:
+            if bool(np.all(np.asarray(tok) == eos_token_id)):
+                break
+    out = np.asarray(jnp.stack(toks, axis=1))
+    if out.shape[1] < max_new_tokens:
+        out = np.pad(out, ((0, 0), (0, max_new_tokens - out.shape[1])),
+                     constant_values=eos_token_id)
+    for b in range(batch):
+        hits = np.nonzero(out[b] == eos_token_id)[0]
+        if hits.size:
+            out[b, hits[0]:] = eos_token_id
+    return jnp.asarray(out), cache

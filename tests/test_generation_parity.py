@@ -132,3 +132,39 @@ def test_serving_quant_logit_drift_stays_bounded(trained_model):
     q_top = np.asarray(jnp.argmax(q_logits[:, 32:], -1))
     agree = float((ref_top == q_top).mean())
     assert agree >= 0.99, f"teacher-forced top-1 agreement {agree:.3f}"
+
+
+def test_mega_decode_generation_matches_bf16(trained_model):
+    """The megakernel serving path (ops/mega_decode.py — here its XLA
+    reference emulation on CPU; the pallas kernel is pinned to that
+    reference in test_mega_decode.py and on-chip in tests/tpu) rolled 128
+    greedy steps on the trained model: tokens must track bf16."""
+    cfg, model, params, ids = trained_model
+    prompt = ids[:, :32]
+    ref_tokens = np.asarray(_rollout(cfg, model, params, prompt, N_NEW))
+
+    ffn_pad = 8
+    qcfg = dataclasses.replace(cfg, weight_quant=True, kv_quant=True,
+                               fused_qkv=True, ffn_pad=ffn_pad,
+                               mega_decode=True)
+    qmodel = LlamaModel(qcfg)
+    qparams = quantize_llama_params(fuse_llama_params(params),
+                                    ffn_pad=ffn_pad)
+
+    from mmor_tpu.ops.mega_decode import (
+        MegaServer,
+        greedy_decode_hostloop_mega,
+    )
+
+    mask = jnp.ones_like(prompt)
+    max_len = prompt.shape[1] + N_NEW
+    logits, kv = qmodel.apply(qparams, input_ids=prompt,
+                              attention_mask=mask, prefill_pad_to=max_len)
+    cache = build_cache(qcfg, kv, mask, max_len=max_len)
+    server = MegaServer(qcfg, qparams)
+    mega_tokens, _ = greedy_decode_hostloop_mega(
+        server, logits, cache, N_NEW, eos_token_id=-1)
+
+    agree = float((ref_tokens == np.asarray(mega_tokens)).mean())
+    assert agree >= 0.98, (f"mega token agreement {agree:.3f}\n"
+                           f"ref={ref_tokens[0]}\nmega={np.asarray(mega_tokens)[0]}")

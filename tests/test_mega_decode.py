@@ -1,0 +1,287 @@
+"""Whole-decode-step megakernel: tapes, reference numerics, kernel parity.
+
+Layers of insurance (ops/mega_decode.py):
+
+1. tape build/untile roundtrip is lossless (pure relayout of packed int8);
+2. the XLA reference emulation agrees with the EXISTING serving path
+   (fused+quantized LlamaModel decode step) to quantization tolerance —
+   pins RoPE convention, cache semantics, scale plumbing against an
+   independent implementation;
+3. the pallas kernel (interpret mode on CPU) matches the XLA reference —
+   pins the grid/phase/index-map machinery bit-for-bit-ish (f32 order).
+   On the chip the same comparison runs in tests/tpu/run_tpu_checks.py.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmor_tpu.config import LlamaConfig
+from mmor_tpu.ops import mega_decode as md
+from mmor_tpu.ops.quantized_matmul import pack_int8_rows, quantize_weights
+
+CFG = LlamaConfig(
+    vocab_size=128, dim=256, n_layers=2, n_heads=4, n_kv_heads=4,
+    ffn_dim=256, max_seq_len=128, dtype=jnp.bfloat16,
+    param_dtype=jnp.bfloat16, weight_quant=True, kv_quant=True,
+    fused_qkv=True,
+)
+GEO = md.MegaGeometry.from_config(CFG, batch=3, t_cap=64, ck=128, bna=256,
+                                  bnb=128, g=2)
+
+
+def _random_blocks(key, cfg: LlamaConfig):
+    """Random quantized fused blocks tree (stacked (L, K/4, N) w_p)."""
+    ks = jax.random.split(key, 6)
+    l, d, f = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    qw = cfg.n_heads * cfg.head_dim
+
+    def q(key, k_in, n):
+        w = jax.random.normal(key, (l, k_in, n)) * 0.05
+        wq, sc = jax.vmap(quantize_weights)(w)
+        return {"w_p": jax.vmap(pack_int8_rows)(wq), "scale": sc}
+
+    return {
+        "qkv_proj": q(ks[0], d, 3 * qw),
+        "o_proj": q(ks[1], qw, d),
+        "gate_up_proj": q(ks[2], d, 2 * f),
+        "down_proj": q(ks[3], f, d),
+        "attn_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[4], (l, d))},
+        "mlp_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[5], (l, d))},
+    }
+
+
+def _random_cache(key, geo: md.MegaGeometry, prefix: int):
+    """Cache stacks with `prefix` valid positions of quantized random KV."""
+    from mmor_tpu.models.llama import quantize_kv
+
+    ks = jax.random.split(key, 2)
+    l, b, h, dh, t = (geo.n_layers, geo.batch, geo.n_heads, geo.head_dim,
+                      geo.t_cap)
+    kf = jax.random.normal(ks[0], (l, b, h, t, dh)) * 0.3
+    vf = jax.random.normal(ks[1], (l, b, h, t, dh)) * 0.3
+    k_p, k_s = quantize_kv(kf)                      # D-packed
+    v_p, v_s = md.quantize_kv_tmajor(vf)            # T-packed
+    mask = (jnp.arange(t)[None, :] < prefix).astype(jnp.int32)
+    return dict(
+        k=k_p, k_s=k_s, v=v_p, v_s=v_s,
+        kv_mask=jnp.broadcast_to(mask, (b, t)),
+        write_pos=jnp.asarray(prefix, jnp.int32),
+        tok_pos=jnp.full((b,), prefix, jnp.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    blocks = _random_blocks(jax.random.PRNGKey(0), CFG)
+    tapes = md.build_tapes(blocks, GEO)
+    cache = _random_cache(jax.random.PRNGKey(1), GEO, prefix=10)
+    x = jax.random.normal(jax.random.PRNGKey(2), (GEO.batch, GEO.dim),
+                          jnp.bfloat16) * 0.5
+    cos, sin = md.rope_tables(cache["tok_pos"], GEO.head_dim, CFG.rope_theta)
+    return blocks, tapes, cache, x, cos, sin
+
+
+def test_tape_roundtrip(setup):
+    blocks, tapes, *_ = setup
+    un = md.untile_tapes(tapes, GEO)
+    np.testing.assert_array_equal(np.asarray(un["qkv_proj"][0]),
+                                  np.asarray(blocks["qkv_proj"]["w_p"]))
+    np.testing.assert_array_equal(np.asarray(un["o_proj"][0]),
+                                  np.asarray(blocks["o_proj"]["w_p"]))
+    np.testing.assert_array_equal(np.asarray(un["down_proj"][0]),
+                                  np.asarray(blocks["down_proj"]["w_p"]))
+    # gate_up roundtrips through the interleaved layout
+    gw, gs = md.interleave_gate_up(
+        blocks["gate_up_proj"]["w_p"][0], blocks["gate_up_proj"]["scale"][0],
+        ffn=GEO.ffn, half=GEO.bna // 2)
+    np.testing.assert_array_equal(
+        np.asarray(un["gate_up_interleaved"][0][0]), np.asarray(gw))
+    np.testing.assert_allclose(
+        np.asarray(un["gate_up_interleaved"][1][0]), np.asarray(gs))
+    np.testing.assert_allclose(np.asarray(un["qkv_proj"][1]),
+                               np.asarray(blocks["qkv_proj"]["scale"]))
+
+
+def test_v_tmajor_roundtrip():
+    v = jax.random.randint(jax.random.PRNGKey(0), (2, 3, 16, 8), -127, 128,
+                           jnp.int8)
+    packed = md.pack_v_tmajor(v)
+    assert packed.shape == (2, 3, 4, 8)
+    np.testing.assert_array_equal(np.asarray(md.unpack_v_tmajor(packed)),
+                                  np.asarray(v))
+
+
+def test_reference_matches_existing_serving_path(setup):
+    """The mega arithmetic chain vs the current unfused serving step
+    (QuantDense + packed KV decode attention) — same weights, same cache
+    content, tolerance = activation-quantization noise."""
+    from mmor_tpu.models.llama import LlamaModel
+
+    blocks, tapes, cache, x, cos, sin = setup
+    x_ref, knew, knew_s, vnew, vnew_s = md.mega_decode_layers_reference(
+        x, tapes, cache, cos, sin, GEO, eps=CFG.norm_eps)
+
+    # existing path: build a LlamaModel decode step over the same state
+    model = LlamaModel(CFG)
+    from mmor_tpu.ops.attention import unpack_kv_heads
+
+    # convert the mega cache (v T-packed) to the old layout (v D-packed)
+    from mmor_tpu.ops.attention import pack_kv_heads
+
+    v8 = md.unpack_v_tmajor(cache["v"])  # (L,B,H,T,dh) int8
+    old_cache = dict(
+        k=cache["k"], k_s=cache["k_s"],
+        v=pack_kv_heads(v8), v_s=cache["v_s"],
+        kv_mask=cache["kv_mask"], write_pos=cache["write_pos"],
+        tok_pos=cache["tok_pos"],
+    )
+    params = {"params": {
+        "blocks": {
+            "qkv_proj": {"w_p": blocks["qkv_proj"]["w_p"],
+                         "scale": blocks["qkv_proj"]["scale"]},
+            "o_proj": {"w_p": blocks["o_proj"]["w_p"],
+                       "scale": blocks["o_proj"]["scale"]},
+            "gate_up_proj": {"w_p": blocks["gate_up_proj"]["w_p"],
+                             "scale": blocks["gate_up_proj"]["scale"]},
+            "down_proj": {"w_p": blocks["down_proj"]["w_p"],
+                          "scale": blocks["down_proj"]["scale"]},
+            "attn_norm": {"scale": blocks["attn_norm"]["scale"]},
+            "mlp_norm": {"scale": blocks["mlp_norm"]["scale"]},
+        },
+        "embed_tokens": {"embedding": jnp.zeros((CFG.vocab_size, CFG.dim))},
+        "final_norm": {"scale": jnp.ones((CFG.dim,))},
+        "lm_head": {"w_p": jnp.zeros((CFG.dim // 4, CFG.vocab_size),
+                                     jnp.int32),
+                    "scale": jnp.ones((CFG.vocab_size,))},
+    }}
+    # run the blocks only: feed embeds directly, read back pre-norm hidden
+    # via logits of an identity-ish head is awkward — instead compare the
+    # new-KV columns (pure per-layer function of the SAME x) and the final
+    # hidden through the full scan.
+    logits, new_cache = model.apply(
+        params, input_embeds=x[:, None, :].astype(jnp.bfloat16),
+        attention_mask=jnp.ones((GEO.batch, 1), jnp.int32),
+        positions=cache["tok_pos"][:, None], cache=old_cache)
+
+    # the cache column written by the old path at write_pos vs mega's knew
+    wp = int(cache["write_pos"])
+    k_col = unpack_kv_heads(new_cache["k"])[..., wp, :]  # (L,B,H,dh) int8
+    got = np.asarray(knew, np.int32)
+    want = np.asarray(k_col, np.int32)
+    # int8 quantization of near-identical floats: allow off-by-one counts
+    close = np.abs(got - want) <= 1
+    assert close.mean() > 0.97, f"k column mismatch {1 - close.mean():.4f}"
+    ks_col = np.asarray(new_cache["k_s"][..., wp], np.float32)
+    np.testing.assert_allclose(np.asarray(knew_s), ks_col, rtol=0.05,
+                               atol=1e-5)
+
+
+def test_kernel_interpret_matches_reference(setup):
+    blocks, tapes, cache, x, cos, sin = setup
+    ref = md.mega_decode_layers_reference(x, tapes, cache, cos, sin, GEO,
+                                          eps=CFG.norm_eps)
+    got = md.mega_decode_layers(x, tapes, cache, cos, sin, GEO,
+                                eps=CFG.norm_eps, interpret=True)
+    names = ["x", "knew", "knew_s", "vnew", "vnew_s"]
+    for name, a, b_ in zip(names, ref, got):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        if name in ("knew", "vnew"):  # int8 rounding: off-by-one tolerated
+            assert (np.abs(a - b_) <= 1).mean() > 0.97, name
+        else:
+            np.testing.assert_allclose(b_, a, rtol=0.02, atol=0.02,
+                                       err_msg=name)
+
+
+def test_apply_kv_update_roundtrip(setup):
+    blocks, tapes, cache, x, cos, sin = setup
+    ref = md.mega_decode_layers_reference(x, tapes, cache, cos, sin, GEO,
+                                          eps=CFG.norm_eps)
+    _, knew, knew_s, vnew, vnew_s = ref
+    new_cache = md.apply_kv_update(cache, knew, knew_s, vnew, vnew_s)
+    wp = int(cache["write_pos"])
+    from mmor_tpu.ops.attention import unpack_kv_heads
+
+    k_col = unpack_kv_heads(new_cache["k"])[..., wp, :]
+    np.testing.assert_array_equal(np.asarray(k_col), np.asarray(knew))
+    v_col = md.unpack_v_tmajor(new_cache["v"])[..., wp, :]
+    np.testing.assert_array_equal(np.asarray(v_col), np.asarray(vnew))
+    # neighbours in the packed V word untouched
+    v_prev = md.unpack_v_tmajor(new_cache["v"])[..., wp - 1, :]
+    v_prev_old = md.unpack_v_tmajor(cache["v"])[..., wp - 1, :]
+    np.testing.assert_array_equal(np.asarray(v_prev), np.asarray(v_prev_old))
+    assert int(new_cache["write_pos"]) == wp + 1
+    assert bool(jnp.all(new_cache["kv_mask"][:, wp] == 1))
+
+
+def test_mega_generate_stepwise_matches_plain(tmp_path):
+    """End-to-end: tiny MM2SG with mega_decode=True through
+    generate_stepwise (reference fallback on CPU) produces the same greedy
+    tokens as the plain bf16 path — the engine-level insurance that the
+    megakernel serving wiring (prefill T-packed V cache, MegaServer loop,
+    cache updates) is sound."""
+    import dataclasses
+
+    from mmor_tpu.config import MM2SGConfig
+    from mmor_tpu.models.mm2sg import MM2SG, generate_stepwise
+    from mmor_tpu.models.llama import fuse_llama_params, quantize_llama_params
+
+    cfg0 = MM2SGConfig.tiny()
+    # mega needs MHA + fused + quantized; tiny() already is MHA
+    b, t = 2, 16
+    size = cfg0.vision.image_size
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "input_ids": jax.random.randint(key, (b, t), 3,
+                                        cfg0.llama.vocab_size),
+        "attention_mask": jnp.ones((b, t), jnp.int32),
+        "images": jax.random.normal(key, (b, cfg0.pooler.max_views, size,
+                                          size, 3)),
+        "view_mask": jnp.ones((b, cfg0.pooler.max_views), jnp.int32),
+        "audio_embedding": jnp.zeros((b, cfg0.pooler.audio_dim)),
+    }
+    batch["input_ids"] = batch["input_ids"].at[:, 2].set(-200)
+    model0 = MM2SG(cfg0)
+    params0 = model0.init(
+        jax.random.PRNGKey(1), batch["input_ids"], batch["attention_mask"],
+        batch["images"], batch["view_mask"],
+        audio_embedding=batch["audio_embedding"],
+    )
+
+    n_new = 12
+    cache_len = 64
+    ref_tokens, _ = generate_stepwise(
+        model0, params0, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1)
+
+    qcfg = dataclasses.replace(
+        cfg0, llama=dataclasses.replace(
+            cfg0.llama, weight_quant=True, kv_quant=True, fused_qkv=True,
+            mega_decode=True))
+    lm = params0["params"]["language_model"]
+    lm_q = quantize_llama_params(
+        fuse_llama_params({"params": lm}))["params"]
+    qparams = {"params": dict(params0["params"], language_model=lm_q)}
+    qmodel = MM2SG(qcfg)
+    mega_tokens, bufs = generate_stepwise(
+        qmodel, qparams, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1)
+    assert bufs is not None  # recycled mega-layout cache buffers
+    assert bufs[2].shape[-2:] == (cache_len // 4, qcfg.llama.head_dim), \
+        "recycled V buffers must be T-packed"
+    assert mega_tokens.shape == ref_tokens.shape
+    # untrained-net argmaxes are tie-fragile under quantization; require the
+    # FIRST token (prefill argmax, identical math) to agree and the stream
+    # to be deterministic. Token-level agreement at depth is pinned on a
+    # TRAINED model in test_generation_parity.py::test_mega_*.
+    np.testing.assert_array_equal(np.asarray(mega_tokens[:, 0]),
+                                  np.asarray(ref_tokens[:, 0]))
+    again, _ = generate_stepwise(
+        qmodel, qparams, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1, cache_buffers=bufs)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(mega_tokens))

@@ -1,0 +1,135 @@
+"""Compile + time + (optionally) verify the whole-decode-step megakernel.
+
+BM_L / BM_B / BM_T / BM_FFN select geometry (default: 7B shapes, reduced
+layer count for a fast first compile). BM_CHECK=1 compares the on-chip
+kernel against the XLA reference on CPU (slow at 7B width — use small L).
+
+  PYTHONPATH=.:$PYTHONPATH BM_L=4 BM_B=8 BM_T=512 python tools/perf/bench_mega.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmor_tpu.config import LlamaConfig
+from mmor_tpu.ops import mega_decode as md
+from mmor_tpu.ops.quantized_matmul import pack_int8_rows
+
+L = int(os.environ.get("BM_L", "4"))
+B = int(os.environ.get("BM_B", "8"))
+T = int(os.environ.get("BM_T", "512"))
+FFN = int(os.environ.get("BM_FFN", "11264"))
+REPEATS = int(os.environ.get("BM_REPEATS", "8"))
+CHECK = os.environ.get("BM_CHECK", "0") == "1"
+
+cfg = LlamaConfig(dim=4096, n_layers=L, n_heads=32, n_kv_heads=32,
+                  ffn_dim=FFN, weight_quant=True, kv_quant=True,
+                  fused_qkv=True)
+geo = md.MegaGeometry.from_config(cfg, batch=B, t_cap=T)
+
+
+def rand_blocks(key):
+    ks = jax.random.split(key, 6)
+    d, f, qw = cfg.dim, FFN, cfg.n_heads * cfg.head_dim
+
+    def q(key, k_in, n):
+        wq = jax.random.randint(key, (L, k_in, n), -127, 128, jnp.int8)
+        sc = jnp.full((L, n), 0.01, jnp.float32)
+        return {"w_p": jax.jit(jax.vmap(pack_int8_rows))(wq), "scale": sc}
+
+    return {
+        "qkv_proj": q(ks[0], d, 3 * qw),
+        "o_proj": q(ks[1], qw, d),
+        "gate_up_proj": q(ks[2], d, 2 * f),
+        "down_proj": q(ks[3], f, d),
+        "attn_norm": {"scale": jnp.ones((L, d))},
+        "mlp_norm": {"scale": jnp.ones((L, d))},
+    }
+
+
+def rand_cache(key, prefix):
+    ks = jax.random.split(key, 4)
+    h, dh = cfg.n_heads, cfg.head_dim
+    big = 2 ** 30
+    cache = dict(
+        k=jax.random.randint(ks[0], (L, B, h, dh // 4, T), -big, big,
+                             jnp.int32),
+        k_s=jnp.full((L, B, h, T), 0.02, jnp.bfloat16),
+        v=jax.random.randint(ks[1], (L, B, h, T // 4, dh), -big, big,
+                             jnp.int32),
+        v_s=jnp.full((L, B, h, T), 0.02, jnp.bfloat16),
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(T)[None] < prefix).astype(jnp.int32), (B, T)),
+        write_pos=jnp.asarray(prefix, jnp.int32),
+        tok_pos=jnp.full((B,), prefix, jnp.int32),
+    )
+    return cache
+
+
+def main():
+    print(f"L={L} B={B} T={T} ffn={FFN} steps/layer={geo.steps_per_layer} "
+          f"grid={L}x{geo.steps_per_layer}", flush=True)
+    wbytes = (geo.wqkv + 2 * FFN + 2 * cfg.dim) * cfg.dim * L
+    kvbytes = 2 * L * B * cfg.n_heads * cfg.head_dim * T
+    print(f"weights {wbytes/1e9:.2f} GB  kv {kvbytes/1e9:.2f} GB", flush=True)
+
+    blocks = rand_blocks(jax.random.PRNGKey(0))
+    tapes = jax.jit(lambda b: md.build_tapes(b, geo))(blocks)
+    del blocks
+    cache = rand_cache(jax.random.PRNGKey(1), prefix=T - 8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.dim),
+                          jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
+
+    def once(x):
+        out = md.mega_decode_layers(x, tapes, cache, cos, sin, geo)
+        return out[0]
+
+    jfn = jax.jit(lambda x: once(x).astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    print("compiling...", flush=True)
+    v0 = np.asarray(jfn(x))
+    print(f"compiled+ran in {time.perf_counter()-t0:.1f}s  out={v0:.4f}",
+          flush=True)
+
+    def chained(x):
+        def body(i, acc):
+            xp = x + (acc * 1e-38).astype(x.dtype)
+            return jax.jit(once)(xp).astype(jnp.float32).sum()
+        return jax.lax.fori_loop(0, REPEATS, body, jnp.zeros((), jnp.float32))
+
+    cfn = jax.jit(chained)
+    np.asarray(cfn(x))
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        np.asarray(cfn(x))
+    dt = (time.perf_counter() - t0) / iters / REPEATS
+    bw = (wbytes + kvbytes) / dt / 1e9
+    per32 = dt * 32 / L
+    print(f"mega step ({L} layers): {dt*1e3:.3f} ms  eff {bw:.0f} GB/s  "
+          f"-> {per32*1e3:.1f} ms/token at 32 layers", flush=True)
+
+    if CHECK:
+        ref = md.mega_decode_layers_reference(x, tapes, cache, cos, sin, geo)
+        got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo)
+        for name, a, b_ in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                               ref, got):
+            a = np.asarray(a, np.float32)
+            b_ = np.asarray(b_, np.float32)
+            if name in ("knew", "vnew"):
+                frac = (np.abs(a - b_) <= 1).mean()
+                print(f"  {name}: off-by<=1 {frac:.4f}", flush=True)
+            else:
+                err = (np.abs(a - b_) / (np.abs(a) + 1e-3)).max()
+                print(f"  {name}: max rel err {err:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -328,7 +328,7 @@ def _kern_rowrw(q_ref, k_ref, o_ref, buf_ref, *, b, dyn):
         q = q_ref[hg, pl.dslice(bi, 1), :]       # (1, 2048) sublane-dyn read
     else:
         q = q_ref[0, 0:1, :]
-    k8 = pltpu.bitcast(k_ref[...], jnp.int8)     # (G*32*4=G,128?,T)
+    k8 = pltpu.bitcast(k_ref[...], jnp.int8)[0]  # (G, 128, T)
     # per-head matvec over the block, as decode attention does
     acc = jnp.zeros((1, k8.shape[-1]), jnp.float32)
     g_heads = k8.shape[0]
