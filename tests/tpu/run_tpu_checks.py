@@ -47,6 +47,7 @@ def main():
     ok &= check("flash segment-ids", got, want, 8e-3)
 
     ok &= extra_checks()
+    ok &= mega_checks()
     print("ALL OK" if ok else "FAILURES")
     raise SystemExit(0 if ok else 1)
 
@@ -130,6 +131,74 @@ def extra_checks():
     status = "OK " if err < 5e-3 else "FAIL"
     print(f"[{status}] ms_deform_attn tpu-vs-cpu: max_abs_err={err:.2e}")
     ok &= err < 5e-3
+    return ok
+
+
+def mega_checks():
+    """Megakernel on-chip numerics: the pallas whole-decode-step kernel vs
+    its XLA reference (computed on CPU) at a mid-size geometry."""
+    import numpy as np
+
+    from mmor_tpu.config import LlamaConfig
+    from mmor_tpu.ops import mega_decode as md
+    from mmor_tpu.ops.quantized_matmul import pack_int8_rows
+
+    cfg = LlamaConfig(dim=4096, n_layers=2, n_heads=32, n_kv_heads=32,
+                      ffn_dim=11264, weight_quant=True, kv_quant=True,
+                      fused_qkv=True)
+    geo = md.MegaGeometry.from_config(cfg, batch=4, t_cap=256)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    l, d, f, qw = 2, 4096, 11264, 4096
+
+    def q(key, k_in, n):
+        wq = jax.random.randint(key, (l, k_in, n), -127, 128, jnp.int8)
+        sc = jnp.full((l, n), 0.002, jnp.float32)
+        return {"w_p": jax.jit(jax.vmap(pack_int8_rows))(wq), "scale": sc}
+
+    blocks = {
+        "qkv_proj": q(ks[0], d, 3 * qw), "o_proj": q(ks[1], qw, d),
+        "gate_up_proj": q(ks[2], d, 2 * f), "down_proj": q(ks[3], f, d),
+        "attn_norm": {"scale": jnp.ones((l, d))},
+        "mlp_norm": {"scale": jnp.ones((l, d))},
+    }
+    tapes = jax.jit(lambda b: md.build_tapes(b, geo))(blocks)
+    big = 2 ** 30
+    t = geo.t_cap
+    cache = dict(
+        k=jax.random.randint(ks[4], (l, 4, 32, 32, t), -big, big, jnp.int32),
+        k_s=jnp.full((l, 4, 32, t), 0.02, jnp.bfloat16),
+        v=jax.random.randint(ks[5], (l, 4, 32, t // 4, 128), -big, big,
+                             jnp.int32),
+        v_s=jnp.full((l, 4, 32, t), 0.02, jnp.bfloat16),
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (4, t)),
+        write_pos=jnp.asarray(t - 8, jnp.int32),
+        tok_pos=jnp.full((4,), t - 8, jnp.int32),
+    )
+    x = jax.random.normal(ks[6], (4, d), jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], 128, cfg.rope_theta)
+
+    got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo)
+    ref = jax.jit(
+        lambda *a: md.mega_decode_layers_reference(*a, geo),
+        backend="cpu")(x, tapes, cache, cos, sin)
+    ok = True
+    for name, a, b in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                          ref, got):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if name in ("knew", "vnew"):
+            frac = float((np.abs(a - b) <= 1).mean())
+            status = "OK " if frac > 0.97 else "FAIL"
+            print(f"[{status}] mega {name}: off-by<=1 frac={frac:.4f}")
+            ok &= frac > 0.97
+        else:
+            err = float((np.abs(a - b) / (np.abs(a) + 1e-2)).max())
+            status = "OK " if err < 0.05 else "FAIL"
+            print(f"[{status}] mega {name}: max rel err={err:.4f}")
+            ok &= err < 0.05
+    print("MEGA OK" if ok else "MEGA FAILURES")
     return ok
 
 
