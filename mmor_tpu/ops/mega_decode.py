@@ -86,16 +86,24 @@ class MegaGeometry:
         return self.dim // self.ck
 
     @property
-    def hg(self) -> int:  # attention groups
+    def hg(self) -> int:  # attention groups (legacy; g unused in head-major)
         return self.n_heads // self.g
+
+    @property
+    def rg(self) -> int:  # attention batch-row group (sublane alignment)
+        return 8 if self.batch % 8 == 0 else self.batch
+
+    @property
+    def nb8(self) -> int:  # row groups per attention head
+        return self.batch // self.rg
 
     @property
     def nq(self) -> int:  # qkv tile steps
         return (self.wqkv // self.bna) * self.nkc
 
     @property
-    def na(self) -> int:  # attention steps
-        return self.batch * self.hg
+    def na(self) -> int:  # attention steps: head-major x 8-row groups
+        return self.n_heads * self.nb8
 
     @property
     def no(self) -> int:  # o tile steps
@@ -131,7 +139,8 @@ class MegaGeometry:
 
     def validate(self):
         g = self
-        assert g.g * g.head_dim == g.ck, "attention group must span one chunk"
+        assert g.ck % g.head_dim == 0, "chunks must hold whole heads"
+        assert g.batch % g.rg == 0
         assert g.dim % g.ck == 0 and g.ffn % g.ck == 0
         assert g.q_width % g.bna == 0, "qkv blocks must not straddle q|k|v"
         assert g.ffn % (g.bna // 2) == 0
@@ -338,10 +347,10 @@ def _mega_kernel(
     scale_a_ref,   # (1, 1, bna) f32
     tape_b_ref,    # (1, ck/4, bnb) int32
     scale_b_ref,   # (1, 1, bnb) f32
-    kq_ref,        # (1, g, dh/4, T) int32
-    ks_ref,        # (1, g, T) bf16
-    vq_ref,        # (1, g, T/4, dh) int32
-    vs_ref,        # (1, g, T) bf16
+    kq_ref,        # (1, rg, 1, dh/4, T) int32   [l, row-group, head]
+    ks_ref,        # (1, rg, 1, T) bf16
+    vq_ref,        # (1, rg, 1, T/4, dh) int32
+    vs_ref,        # (1, rg, 1, T) bf16
     # outputs
     x_out_ref,     # (1, bp, ck) bf16       [j]
     knew_ref,      # (1, bp, bna) int8      [l*nkb + (j - qb)]
@@ -353,12 +362,12 @@ def _mega_kernel(
     x2s_ref,       # (nxc, bp, ck) f32   post-attention residual
     hq_ref,        # (nxc, bp, ck) int8  quantized norm output
     hrs_ref,       # (nxc, bp, 1) f32    per (chunk,row) act scales
-    qatt_ref,      # (hg, bp, ck) int8   roped+quantized q
-    qs_ref,        # (hg, bp, 128) f32   q scales per (row, head-in-group)
-    kcur_ref,      # (hg, bp, ck) bf16   current-token k (dequantized)
-    vcur_ref,      # (hg, bp, ck) bf16   current-token v (dequantized)
-    a8_ref,        # (nxc, bp, ck) int8  attention out, quantized rows
-    ars_ref,       # (nxc, bp, 1) f32
+    qatt_ref,      # (H, bp, dh) int8    roped+quantized q, head-major
+    qs_ref,        # (H, bp, 1) f32      q scales per (row, head)
+    kcur_ref,      # (H, bp, dh) bf16    current-token k (dequantized)
+    vcur_ref,      # (H, bp, dh) bf16    current-token v (dequantized)
+    a8_ref,        # (H, bp, dh) int8    attention out, per (row, head)
+    ars_ref,       # (H, bp, 1) f32
     m8_ref,        # (ffn/ck, bp, ck) int8
     mrs_ref,       # (ffn/ck, bp, 1) f32
     acc_ref,       # (bp, bna) f32
@@ -366,7 +375,13 @@ def _mega_kernel(
     geo: MegaGeometry,
     eps: float,
     sm_scale: float,
+    debug_phases: str = "full",
 ):
+    # debug_phases: comma/plus set of {a, afin, att, b} or "full" —
+    # compile-time bisection knob (Mosaic compile cost hunting); production
+    # always runs "full".
+    _on = (lambda name: True) if debug_phases == "full" else (
+        lambda name: name in debug_phases)
     g = geo
     l = pl.program_id(0)
     s = pl.program_id(1)
@@ -425,118 +440,120 @@ def _mega_kernel(
     kk_a = ta % nkc
     in_a = jnp.logical_or(in_qkv, in_gu)
 
-    @pl.when(jnp.logical_and(in_a, kk_a == 0))
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    if _on("a"):
+        @pl.when(jnp.logical_and(in_a, kk_a == 0))
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(in_a)
-    def _():
-        w8 = pltpu.bitcast(tape_a_ref[...], jnp.int8)[0]  # (ck, bna)
-        acc_ref[...] += dot8(hq_ref[kk_a], w8) * hrs_ref[kk_a]
+        @pl.when(in_a)
+        def _():
+            w8 = pltpu.bitcast(tape_a_ref[...], jnp.int8)[0]  # (ck, bna)
+            acc_ref[...] += dot8(hq_ref[kk_a], w8) * hrs_ref[kk_a]
 
     fin_a = jnp.logical_and(in_a, kk_a == nkc - 1)
 
-    # -- qkv finish: rope, stash q/kcur/vcur, emit quantized new-KV column
-    @pl.when(jnp.logical_and(fin_a, in_qkv))
-    def _():
-        out = acc_ref[...] * scale_a_ref[0]  # (bp, bna) f32
-        pos = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) % dh
-        half = dh // 2
-        rot = jnp.where(pos < half,
-                        -pltpu.roll(out, bna - half, axis=1),
-                        pltpu.roll(out, half, axis=1))
-        roped = out * cos_ref[...] + rot * sin_ref[...]
-
-        @pl.when(j_a < qb)  # q blocks
+    # -- qkv finish: rope, stash q/kcur/vcur, emit quantized new-KV column.
+    # One SHARED rope+quantize computation with selects; the q/k/v branches
+    # are stores only — Mosaic fully unrolls every branch body to vreg ops,
+    # so duplicated heavy compute tripled the kernel program (compile-time
+    # hazard measured on this chip's AOT service).
+    if _on("afin"):
+        @pl.when(jnp.logical_and(fin_a, in_qkv))
         def _():
-            q8, rs = quant_rows(
-                (roped * sm_scale).reshape(g.bp, heads_per_blk, dh))
-            q8 = q8.reshape(g.bp, bna)
-            for grp in range(grp_per_blk):
-                qatt_ref[j_a * grp_per_blk + grp] = (
-                    q8[:, grp * ck:(grp + 1) * ck])
-                gpb = ck // dh
-                qs_ref[j_a * grp_per_blk + grp] = jnp.pad(
-                    rs[:, grp * gpb:(grp + 1) * gpb, 0],
-                    ((0, 0), (0, 128 - gpb)))
+            out = acc_ref[...] * scale_a_ref[0]  # (bp, bna) f32
+            pos = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) % dh
+            half = dh // 2
+            rot = jnp.where(pos < half,
+                            -pltpu.roll(out, bna - half, axis=1),
+                            pltpu.roll(out, half, axis=1))
+            roped = out * cos_ref[...] + rot * sin_ref[...]
+            is_q = j_a < qb
+            is_k = jnp.logical_and(j_a >= qb, j_a < kb)
+            base = jnp.where(j_a >= kb, out, roped)      # v: no rope
+            base = jnp.where(is_q, base * sm_scale, base)
+            q8, rs = quant_rows(base.reshape(g.bp, heads_per_blk, dh))
+            q8f = q8.reshape(g.bp, bna)
+            deq3 = (q8.astype(f32) * rs).astype(jnp.bfloat16)
+            srow = jnp.pad(rs[..., 0], ((0, 0), (0, 128 - heads_per_blk)))
 
-        @pl.when(jnp.logical_and(j_a >= qb, j_a < kb))  # k blocks
-        def _():
-            q8, rs = quant_rows(roped.reshape(g.bp, heads_per_blk, dh))
-            deq = (q8.astype(f32) * rs).reshape(g.bp, bna)
-            knew_ref[0] = q8.reshape(g.bp, bna)
-            knew_s_ref[0] = jnp.pad(rs[..., 0],
-                                    ((0, 0), (0, 128 - heads_per_blk)))
-            for grp in range(grp_per_blk):
-                kcur_ref[(j_a - qb) * grp_per_blk + grp] = (
-                    deq[:, grp * ck:(grp + 1) * ck].astype(jnp.bfloat16))
+            @pl.when(is_q)
+            def _():
+                for hh in range(heads_per_blk):
+                    qatt_ref[j_a * heads_per_blk + hh] = q8[:, hh, :]
+                    qs_ref[j_a * heads_per_blk + hh] = rs[:, hh, :]
 
-        @pl.when(j_a >= kb)  # v blocks (no rope)
-        def _():
-            q8, rs = quant_rows(out.reshape(g.bp, heads_per_blk, dh))
-            deq = (q8.astype(f32) * rs).reshape(g.bp, bna)
-            vnew_ref[0] = q8.reshape(g.bp, bna)
-            vnew_s_ref[0] = jnp.pad(rs[..., 0],
-                                    ((0, 0), (0, 128 - heads_per_blk)))
-            for grp in range(grp_per_blk):
-                vcur_ref[(j_a - kb) * grp_per_blk + grp] = (
-                    deq[:, grp * ck:(grp + 1) * ck].astype(jnp.bfloat16))
+            @pl.when(is_k)
+            def _():
+                knew_ref[0] = q8f
+                knew_s_ref[0] = srow
+                for hh in range(heads_per_blk):
+                    kcur_ref[(j_a - qb) * heads_per_blk + hh] = deq3[:, hh, :]
+
+            @pl.when(j_a >= kb)
+            def _():
+                vnew_ref[0] = q8f
+                vnew_s_ref[0] = srow
+                for hh in range(heads_per_blk):
+                    vcur_ref[(j_a - kb) * heads_per_blk + hh] = deq3[:, hh, :]
 
     # -- gate_up finish: block-local SiLU (block layout [g_j | u_j])
-    @pl.when(jnp.logical_and(fin_a, in_gu))
-    def _():
-        gu = acc_ref[...] * scale_a_ref[0]
-        half = bna // 2
-        gate = gu[:, :half]
-        up = gu[:, half:]
-        m = (gate * jax.nn.sigmoid(gate)) * up  # (bp, bna/2 == ck)
-        q8, rs = quant_rows(m)
-        m8_ref[j_a] = q8
-        mrs_ref[j_a] = rs
+    if _on("afin"):
+        @pl.when(jnp.logical_and(fin_a, in_gu))
+        def _():
+            gu = acc_ref[...] * scale_a_ref[0]
+            half = bna // 2
+            gate = gu[:, :half]
+            up = gu[:, half:]
+            m = (gate * jax.nn.sigmoid(gate)) * up  # (bp, bna/2 == ck)
+            q8, rs = quant_rows(m)
+            m8_ref[j_a] = q8
+            mrs_ref[j_a] = rs
 
-    # ---------------- attention
+    # ---------------- attention: one step per (head, 8-row batch group).
+    # All scratch accesses are leading-index or 8-aligned sublane slices
+    # (Mosaic rejects unaligned dynamic sublane rows); the KV cache blocks
+    # gather 8 batch rows of one head via strided BlockSpec windows.
     in_att = jnp.logical_and(s >= att0, s < o0)
     a_i = jnp.clip(s - att0, 0, g.na - 1)
-    b_i = a_i % g.batch
-    hg_i = a_i // g.batch
+    h_i = a_i // g.nb8
+    i8_i = a_i % g.nb8
+    rg = g.rg
 
-    @pl.when(in_att)
-    def _():
-        k8 = pltpu.bitcast(kq_ref[0], jnp.int8)   # (g, dh, T)
-        v8 = pltpu.bitcast(vq_ref[0], jnp.int8)   # (g, T, dh)
-        qrow = qatt_ref[hg_i, pl.dslice(b_i, 1), :]        # (1, ck) int8
-        qsrow = qs_ref[hg_i, pl.dslice(b_i, 1), :]         # (1, 128) f32
-        kcrow = kcur_ref[hg_i, pl.dslice(b_i, 1), :].astype(f32)
-        vcrow = vcur_ref[hg_i, pl.dslice(b_i, 1), :].astype(f32)
-        mrow = mask_ref[pl.dslice(b_i, 1), :]              # (1, T)
-        parts = []
-        for gi in range(g.g):
-            q8g = qrow[:, gi * dh:(gi + 1) * dh]           # (1, dh) int8
-            qscale = qsrow[0, gi]
-            logits = jax.lax.dot_general(
-                q8g, k8[gi], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(f32)
-            logits = logits * (qscale * ks_ref[0, gi:gi + 1, :].astype(f32))
+    if _on("att"):
+        @pl.when(in_att)
+        def _():
+            r0 = pl.multiple_of(i8_i * rg, rg)
+            q8 = qatt_ref[h_i, pl.dslice(r0, rg), :]            # (rg, dh) i8
+            qsx = qs_ref[h_i, pl.dslice(r0, rg), :].astype(f32)  # (rg, 1)
+            kc = kcur_ref[h_i, pl.dslice(r0, rg), :].astype(f32)
+            vc = vcur_ref[h_i, pl.dslice(r0, rg), :].astype(f32)
+            mrow = mask_ref[pl.dslice(r0, rg), :]               # (rg, T)
+            k8 = pltpu.bitcast(kq_ref[0, :, 0], jnp.int8)       # (rg, dh, T)
+            v8 = pltpu.bitcast(vq_ref[0, :, 0], jnp.int8)       # (rg, T, dh)
+            ksx = ks_ref[0, :, 0].astype(f32)                   # (rg, T)
+            vsx = vs_ref[0, :, 0].astype(f32)
+            dims = (((1,), (0,)), ((), ()))
+            logits = jnp.concatenate(
+                [jax.lax.dot_general(q8[r:r + 1], k8[r], dims,
+                                     preferred_element_type=jnp.int32)
+                 for r in range(rg)], axis=0).astype(f32)       # (rg, T)
+            logits = logits * qsx * ksx
             logits = jnp.where(mrow != 0, logits, NEG_INF)
-            kcg = kcrow[:, gi * dh:(gi + 1) * dh]
-            lcur = jnp.sum(q8g.astype(f32) * kcg * qscale,
-                           axis=1, keepdims=True)          # (1, 1)
-            mmax = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), lcur)
-            w = jnp.exp(logits - mmax)                     # (1, T)
-            wc = jnp.exp(lcur - mmax)                      # (1, 1)
-            denom = jnp.sum(w, axis=1, keepdims=True) + wc
-            wv = w * vs_ref[0, gi:gi + 1, :].astype(f32)
-            w8, wrs = quant_rows(wv)
-            ov = jax.lax.dot_general(
-                w8, v8[gi], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(f32)  # (1, dh)
-            ov = ov * wrs
-            vcg = vcrow[:, gi * dh:(gi + 1) * dh]
-            parts.append((ov + wc * vcg) / denom)
-        row = jnp.concatenate(parts, axis=1)               # (1, ck) f32
-        r8, rrs = quant_rows(row)
-        a8_ref[hg_i, pl.dslice(b_i, 1), :] = r8
-        ars_ref[hg_i, pl.dslice(b_i, 1), :] = rrs
+            lcur = jnp.sum(q8.astype(f32) * kc, axis=1,
+                           keepdims=True) * qsx                  # (rg, 1)
+            mmax = jnp.maximum(jnp.max(logits, 1, keepdims=True), lcur)
+            w = jnp.exp(logits - mmax)
+            wc = jnp.exp(lcur - mmax)
+            denom = jnp.sum(w, 1, keepdims=True) + wc
+            w8, wrs = quant_rows(w * vsx)
+            ov = jnp.concatenate(
+                [jax.lax.dot_general(w8[r:r + 1], v8[r], dims,
+                                     preferred_element_type=jnp.int32)
+                 for r in range(rg)], axis=0).astype(f32) * wrs  # (rg, dh)
+            rows = (ov + wc * vc) / denom
+            r8, rrs = quant_rows(rows)
+            a8_ref[h_i, pl.dslice(r0, rg), :] = r8
+            ars_ref[h_i, pl.dslice(r0, rg), :] = rrs
 
     # ---------------- tape-B matmul phases (o, down)
     in_o = jnp.logical_and(s >= o0, s < n2)
@@ -550,6 +567,10 @@ def _mega_kernel(
     first_b = jnp.where(in_dn, kk_b == 0, kk_b == 0)
     last_b = jnp.where(in_dn, kk_b == ndk - 1, kk_b == nkc - 1)
 
+    in_b = jnp.logical_and(in_b, _on("b"))
+    in_o = jnp.logical_and(in_o, _on("b"))
+    in_dn = jnp.logical_and(in_dn, _on("b"))
+
     @pl.when(jnp.logical_and(in_b, first_b))
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -557,7 +578,14 @@ def _mega_kernel(
     @pl.when(in_o)
     def _():
         w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]  # (ck, bnb)
-        part = dot8(a8_ref[kk_b], w8) * ars_ref[kk_b]
+        # attention output lives head-major: one (bp, dh) @ (dh, bnb) dot
+        # per head of this K-chunk, each folding that head's row scales
+        hpc = ck // dh
+        part = jnp.zeros((g.bp, bnb), f32)
+        for hh in range(hpc):
+            head = kk_b * hpc + hh
+            part += dot8(a8_ref[head],
+                         w8[hh * dh:(hh + 1) * dh]) * ars_ref[head]
         acc_ref[:, :bnb] += part
 
     @pl.when(in_dn)
@@ -633,17 +661,19 @@ def _make_index_maps(geo: MegaGeometry):
         return (l * 2 + (s >= n2).astype(jnp.int32), 0, 0)
 
     def kv_idx(l, s):
+        # (layer, batch row-group, head) for the head-major attention walk
         a = jnp.clip(s - att0, 0, g.na - 1)
-        return (l * g.batch + a % g.batch) * g.hg + a // g.batch
+        return a // g.nb8, a % g.nb8
 
     def kq(l, s):
-        return (kv_idx(l, s), 0, 0, 0)
+        h, i8 = kv_idx(l, s)
+        return (l, i8, h, 0, 0)
 
     def ksm(l, s):
-        return (kv_idx(l, s), 0, 0)
+        h, i8 = kv_idx(l, s)
+        return (l, i8, h, 0)
 
-    def vq(l, s):
-        return (kv_idx(l, s), 0, 0, 0)
+    vq = kq
 
     def x_out(l, s):
         td = jnp.clip(s - dn0, 0, g.nd - 1)
@@ -670,6 +700,7 @@ def mega_decode_layers(
     eps: float = 1e-5,
     sm_scale: float | None = None,
     interpret: bool = False,
+    debug_phases: str = "full",
 ):
     """Run ALL decoder layers for one decode position in one pallas call.
 
@@ -686,7 +717,6 @@ def mega_decode_layers(
     bp, ck, bna, bnb = g.bp, g.ck, g.bna, g.bnb
     dh4 = g.head_dim // 4
     t4 = g.t_cap // 4
-    lbh = g.n_layers * g.batch * g.hg
     nkb = g.q_width // g.bna
 
     xt = x.reshape(b, g.nkc, ck).transpose(1, 0, 2)
@@ -698,10 +728,12 @@ def mega_decode_layers(
                    ((0, bp - b), (0, 0)))
     maskb = jnp.pad(cache["kv_mask"].astype(jnp.int32),
                     ((0, bp - b), (0, 0)))
-    kq = cache["k"].reshape(lbh, g.g, dh4, g.t_cap)
-    ks = cache["k_s"].astype(jnp.bfloat16).reshape(lbh, g.g, g.t_cap)
-    vq = cache["v"].reshape(lbh, g.g, t4, g.head_dim)
-    vs = cache["v_s"].astype(jnp.bfloat16).reshape(lbh, g.g, g.t_cap)
+    # cache stacks pass through unchanged: the KV BlockSpecs window
+    # (1, rg, 1, ., .) gathers one head x 8 batch rows per attention step
+    kq = cache["k"]
+    ks = cache["k_s"].astype(jnp.bfloat16)
+    vq = cache["v"]
+    vs = cache["v_s"].astype(jnp.bfloat16)
 
     maps = _make_index_maps(g)
     f32 = jnp.float32
@@ -717,7 +749,8 @@ def mega_decode_layers(
         jax.ShapeDtypeStruct((g.n_layers * nkb, bp, 128), f32),     # vnew_s
     )
     kernel = functools.partial(_mega_kernel, geo=g, eps=eps,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale,
+                               debug_phases=debug_phases)
     x_out, knew, knew_s, vnew, vnew_s = pl.pallas_call(
         kernel,
         grid=grid,
@@ -731,10 +764,10 @@ def mega_decode_layers(
             pl.BlockSpec((1, 1, bna), maps["scale_a"]),
             pl.BlockSpec((1, ck // 4, bnb), maps["tape_b"]),
             pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
-            pl.BlockSpec((1, g.g, dh4, g.t_cap), maps["kq"]),
-            pl.BlockSpec((1, g.g, g.t_cap), maps["ks"]),
-            pl.BlockSpec((1, g.g, t4, g.head_dim), maps["vq"]),
-            pl.BlockSpec((1, g.g, g.t_cap), maps["vs"]),
+            pl.BlockSpec((1, g.rg, 1, dh4, g.t_cap), maps["kq"]),
+            pl.BlockSpec((1, g.rg, 1, g.t_cap), maps["ks"]),
+            pl.BlockSpec((1, g.rg, 1, t4, g.head_dim), maps["vq"]),
+            pl.BlockSpec((1, g.rg, 1, g.t_cap), maps["vs"]),
         ],
         out_specs=(
             pl.BlockSpec((1, bp, ck), maps["x_out"]),
@@ -749,12 +782,12 @@ def mega_decode_layers(
             pltpu.VMEM((nxc, bp, ck), f32),        # x2s
             pltpu.VMEM((nxc, bp, ck), jnp.int8),   # hq
             pltpu.VMEM((nxc, bp, 1), f32),         # hrs
-            pltpu.VMEM((g.hg, bp, ck), jnp.int8),  # qatt
-            pltpu.VMEM((g.hg, bp, 128), f32),      # qs
-            pltpu.VMEM((g.hg, bp, ck), jnp.bfloat16),  # kcur
-            pltpu.VMEM((g.hg, bp, ck), jnp.bfloat16),  # vcur
-            pltpu.VMEM((nxc, bp, ck), jnp.int8),   # a8
-            pltpu.VMEM((nxc, bp, 1), f32),         # ars
+            pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.int8),      # qatt
+            pltpu.VMEM((g.n_heads, bp, 1), f32),                     # qs
+            pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.bfloat16),   # kcur
+            pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.bfloat16),   # vcur
+            pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.int8),       # a8
+            pltpu.VMEM((g.n_heads, bp, 1), f32),                     # ars
             pltpu.VMEM((ndk, bp, ck), jnp.int8),   # m8
             pltpu.VMEM((ndk, bp, 1), f32),         # mrs
             pltpu.VMEM((bp, bna), f32),            # acc
@@ -883,9 +916,15 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
         w8, wrs = _quant_rows_ref(wv)
         ov = jnp.einsum("bht,bhtd->bhd", w8, v8_all[li]) * wrs
         attn = (ov + wc * vcur) / denom  # (B,H,dh)
-        attn = attn.reshape(b, g.dim)
 
-        x2 = x + mm_quant(attn, w_o[li], s_o[li])
+        # o-projection with per-(row, head) activation quantization
+        # (matches the kernel's head-major attention-output layout)
+        a8, ars = _quant_rows_ref(attn)
+        dh = g.head_dim
+        acc = jnp.zeros((b, g.dim), f32)
+        for h in range(g.n_heads):
+            acc = acc + (a8[:, h] @ w_o[li][h * dh:(h + 1) * dh]) * ars[:, h]
+        x2 = x + acc * s_o[li][None, :]
         h2var = jnp.mean(x2 * x2, axis=-1, keepdims=True)
         h2 = x2 * jax.lax.rsqrt(h2var + eps) * norms[li, 1]
         gu = mm_quant(h2, w_gu[li], s_gu[li])  # interleaved [g_j|u_j]

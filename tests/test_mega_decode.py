@@ -194,7 +194,7 @@ def test_kernel_interpret_matches_reference(setup):
         if name in ("knew", "vnew"):  # int8 rounding: off-by-one tolerated
             assert (np.abs(a - b_) <= 1).mean() > 0.97, name
         else:
-            np.testing.assert_allclose(b_, a, rtol=0.02, atol=0.02,
+            np.testing.assert_allclose(b_, a, rtol=0.03, atol=0.03,
                                        err_msg=name)
 
 
