@@ -142,7 +142,9 @@ def main():
     )()
 
     cache_len = prompt_len + cfg.num_multimodal_tokens - 1 + new_tokens
-    cache_len = -(-cache_len // 128) * 128  # round up for tiling
+    # 16-granular: full-T attention blocks don't need 128-multiple lanes;
+    # the 1008->1024 rounding alone wasted ~110 MB of cache at b24
+    cache_len = -(-cache_len // 16) * 16
 
     # stepwise = jitted prefill + host-driven donated-cache decode steps;
     # the axon AOT compile copies while_loop cache carries every token, so

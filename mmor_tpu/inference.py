@@ -93,7 +93,11 @@ class SceneGraphPredictor:
     def _cache_len_for(self, prompt_len: int) -> int:
         need = (prompt_len + self.cfg.num_multimodal_tokens - 1
                 + self.cfg.max_new_tokens)
-        return -(-need // 128) * 128
+        # 16-granular capacity: the attention kernels take full-T blocks so
+        # lane tiling doesn't force 128 multiples; the old 128-rounding
+        # (1008 -> 1024) alone cost ~110 MB of cache at b24 — the measured
+        # b26 near-miss (commit a3bb013 / VERDICT round-2 weak #3)
+        return -(-need // 16) * 16
 
     def _generate(self, params, batch):
         from mmor_tpu.models.mm2sg import generate_stepwise, make_prefill

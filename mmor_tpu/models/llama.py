@@ -193,8 +193,15 @@ class LlamaBlock(nn.Module):
                     v_q, v_s = quantize_kv(v)
                 at = lambda c, u: jax.lax.dynamic_update_slice(
                     c, u[None], (layer_idx, 0, 0, 0, 0))
-                at_s = lambda c, u: jax.lax.dynamic_update_slice(
-                    c, u[None].astype(c.dtype), (layer_idx, 0, 0, 0))
+                if cfg.mega_decode:
+                    # mega cache scales live (L, H, B, T) so the decode
+                    # kernel's scale blocks are (1, 1, 8, T)-legal
+                    at_s = lambda c, u: jax.lax.dynamic_update_slice(
+                        c, u.transpose(1, 0, 2)[None].astype(c.dtype),
+                        (layer_idx, 0, 0, 0))
+                else:
+                    at_s = lambda c, u: jax.lax.dynamic_update_slice(
+                        c, u[None].astype(c.dtype), (layer_idx, 0, 0, 0))
                 caches = (at(k_stack, k_q), at_s(ks_stack, k_s),
                           at(v_stack, v_q), at_s(vs_stack, v_s))
             elif cfg.kv_quant:
@@ -339,7 +346,10 @@ class LlamaModel(nn.Module):
                 vshape = ((cfg.n_layers, batch, cfg.n_heads,
                            prefill_pad_to // 4, cfg.head_dim)
                           if cfg.mega_decode else shape)
-                sshape = (cfg.n_layers, batch, cfg.n_heads, prefill_pad_to)
+                sshape = ((cfg.n_layers, cfg.n_heads, batch, prefill_pad_to)
+                          if cfg.mega_decode
+                          else (cfg.n_layers, batch, cfg.n_heads,
+                                prefill_pad_to))
                 init_caches = (
                     jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
                     jnp.zeros(vshape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
@@ -415,6 +425,12 @@ def build_cache(
         # T is the last axis in both, so padding to capacity is a tail pad.
         # mega_decode stores V T-packed: (L, B, H, T/4, Dh) — pad axis 3.
         k_q, k_s, v_q, v_s = prefill_kv
+        if cfg.mega_decode and pad:
+            # per-layer scan outputs are (L, B, H, T); mega wants (L, H, B, T)
+            # (capacity buffers arrive at pad == 0 and are already head-major
+            # — the prefill wrote them transposed)
+            k_s = k_s.transpose(0, 2, 1, 3)
+            v_s = v_s.transpose(0, 2, 1, 3)
         if pad:
             pad_last = ((0, 0),) * 4 + ((0, pad),)
             pad_s = ((0, 0),) * 3 + ((0, pad),)

@@ -284,7 +284,10 @@ def alloc_cache_buffers(cfg: MM2SGConfig, batch: int, max_cache_len: int):
     shape = (lc.n_layers, batch, lc.n_heads, d4, max_cache_len)
     vshape = ((lc.n_layers, batch, lc.n_heads, max_cache_len // 4,
                lc.head_dim) if lc.mega_decode else shape)
-    sshape = (lc.n_layers, batch, lc.n_heads, max_cache_len)
+    # mega scales live head-major (L, H, B, T) — see ops/mega_decode.py
+    sshape = ((lc.n_layers, lc.n_heads, batch, max_cache_len)
+              if lc.mega_decode
+              else (lc.n_layers, batch, lc.n_heads, max_cache_len))
     return (jnp.zeros(shape, jnp.int32), jnp.ones(sshape, jnp.bfloat16),
             jnp.zeros(vshape, jnp.int32), jnp.ones(sshape, jnp.bfloat16))
 

@@ -339,8 +339,9 @@ def quantize_kv_tmajor(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _mega_kernel(
     # inputs
     x_in_ref,      # (nxc, bp, ck) bf16
-    cos_ref,       # (bp, bna) f32  (per-head cos tiled to bna lanes)
-    sin_ref,       # (bp, bna) f32
+    cos_ref,       # (1, bp, bna/dh, dh) f32  rope tables, head-shaped
+    sin_ref,       # (1, bp, bna/dh, dh) f32
+    sign_ref,      # (1, 1, 1, dh) f32   rotate_half sign row (-1,+1 halves)
     mask_ref,      # (bp, T) int32
     norm_ref,      # (1, nxc, ck) f32    [l*2 + phase]
     tape_a_ref,    # (1, ck/4, bna) int32
@@ -348,9 +349,9 @@ def _mega_kernel(
     tape_b_ref,    # (1, ck/4, bnb) int32
     scale_b_ref,   # (1, 1, bnb) f32
     kq_ref,        # (1, rg, 1, dh/4, T) int32   [l, row-group, head]
-    ks_ref,        # (1, rg, 1, T) bf16
+    ks_ref,        # (1, 1, rg, T) bf16   scales live (L,H,B,T)
     vq_ref,        # (1, rg, 1, T/4, dh) int32
-    vs_ref,        # (1, rg, 1, T) bf16
+    vs_ref,        # (1, 1, rg, T) bf16
     # outputs
     x_out_ref,     # (1, bp, ck) bf16       [j]
     knew_ref,      # (1, bp, bna) int8      [l*nkb + (j - qb)]
@@ -380,7 +381,7 @@ def _mega_kernel(
     # debug_phases: comma/plus set of {a, afin, att, b} or "full" —
     # compile-time bisection knob (Mosaic compile cost hunting); production
     # always runs "full".
-    _on = (lambda name: True) if debug_phases == "full" else (
+    _on = (lambda name: name != "aflite") if debug_phases == "full" else (
         lambda name: name in debug_phases)
     g = geo
     l = pl.program_id(0)
@@ -457,24 +458,38 @@ def _mega_kernel(
     # are stores only — Mosaic fully unrolls every branch body to vreg ops,
     # so duplicated heavy compute tripled the kernel program (compile-time
     # hazard measured on this chip's AOT service).
+    if _on("aflite"):  # compile-cost probe: finish branch minus rope/quant
+        @pl.when(jnp.logical_and(fin_a, in_qkv))
+        def _():
+            out = (acc_ref[...] * scale_a_ref[0]).reshape(
+                g.bp, heads_per_blk, dh)
+            q8x = out.astype(jnp.int8)
+            knew_ref[0] = q8x
+
+            @pl.when(j_a < qb)
+            def _():
+                for hh in range(heads_per_blk):
+                    qatt_ref[j_a * heads_per_blk + hh] = q8x[:, hh, :]
+
     if _on("afin"):
         @pl.when(jnp.logical_and(fin_a, in_qkv))
         def _():
-            out = acc_ref[...] * scale_a_ref[0]  # (bp, bna) f32
-            pos = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) % dh
-            half = dh // 2
-            rot = jnp.where(pos < half,
-                            -pltpu.roll(out, bna - half, axis=1),
-                            pltpu.roll(out, half, axis=1))
-            roped = out * cos_ref[...] + rot * sin_ref[...]
+            out = (acc_ref[...] * scale_a_ref[0]).reshape(
+                g.bp, heads_per_blk, dh)          # (bp, heads, dh) f32
+            # HF rotate_half entirely inside each head's 128 lanes: a roll
+            # by dh/2 on the LAST axis wraps within the head, and a constant
+            # sign row (-1 x dh/2, +1 x dh/2) fixes the sign — no iota, no
+            # select, one layout-changing op (Mosaic's layout solver chokes
+            # on roll+iota+select chains; measured 28-min compiles).
+            rot = pltpu.roll(out, dh // 2, axis=2) * sign_ref[0]
+            roped = out * cos_ref[0] + rot * sin_ref[0]
             is_q = j_a < qb
             is_k = jnp.logical_and(j_a >= qb, j_a < kb)
             base = jnp.where(j_a >= kb, out, roped)      # v: no rope
             base = jnp.where(is_q, base * sm_scale, base)
-            q8, rs = quant_rows(base.reshape(g.bp, heads_per_blk, dh))
-            q8f = q8.reshape(g.bp, bna)
+            q8, rs = quant_rows(base)                    # 3-D, native layout
             deq3 = (q8.astype(f32) * rs).astype(jnp.bfloat16)
-            srow = jnp.pad(rs[..., 0], ((0, 0), (0, 128 - heads_per_blk)))
+            srow = rs[..., 0]                            # (bp, heads)
 
             @pl.when(is_q)
             def _():
@@ -484,14 +499,14 @@ def _mega_kernel(
 
             @pl.when(is_k)
             def _():
-                knew_ref[0] = q8f
+                knew_ref[0] = q8
                 knew_s_ref[0] = srow
                 for hh in range(heads_per_blk):
                     kcur_ref[(j_a - qb) * heads_per_blk + hh] = deq3[:, hh, :]
 
             @pl.when(j_a >= kb)
             def _():
-                vnew_ref[0] = q8f
+                vnew_ref[0] = q8
                 vnew_s_ref[0] = srow
                 for hh in range(heads_per_blk):
                     vcur_ref[(j_a - kb) * heads_per_blk + hh] = deq3[:, hh, :]
@@ -530,13 +545,12 @@ def _mega_kernel(
             mrow = mask_ref[pl.dslice(r0, rg), :]               # (rg, T)
             k8 = pltpu.bitcast(kq_ref[0, :, 0], jnp.int8)       # (rg, dh, T)
             v8 = pltpu.bitcast(vq_ref[0, :, 0], jnp.int8)       # (rg, T, dh)
-            ksx = ks_ref[0, :, 0].astype(f32)                   # (rg, T)
-            vsx = vs_ref[0, :, 0].astype(f32)
-            dims = (((1,), (0,)), ((), ()))
-            logits = jnp.concatenate(
-                [jax.lax.dot_general(q8[r:r + 1], k8[r], dims,
-                                     preferred_element_type=jnp.int32)
-                 for r in range(rg)], axis=0).astype(f32)       # (rg, T)
+            ksx = ks_ref[0, 0].astype(f32)                      # (rg, T)
+            vsx = vs_ref[0, 0].astype(f32)
+            bdims = (((1,), (1,)), ((0,), (0,)))  # batch over the rg rows
+            logits = jax.lax.dot_general(
+                q8, k8, bdims, preferred_element_type=jnp.int32
+            ).astype(f32)                                       # (rg, T)
             logits = logits * qsx * ksx
             logits = jnp.where(mrow != 0, logits, NEG_INF)
             lcur = jnp.sum(q8.astype(f32) * kc, axis=1,
@@ -546,10 +560,9 @@ def _mega_kernel(
             wc = jnp.exp(lcur - mmax)
             denom = jnp.sum(w, 1, keepdims=True) + wc
             w8, wrs = quant_rows(w * vsx)
-            ov = jnp.concatenate(
-                [jax.lax.dot_general(w8[r:r + 1], v8[r], dims,
-                                     preferred_element_type=jnp.int32)
-                 for r in range(rg)], axis=0).astype(f32) * wrs  # (rg, dh)
+            ov = jax.lax.dot_general(
+                w8, v8, bdims, preferred_element_type=jnp.int32
+            ).astype(f32) * wrs                                  # (rg, dh)
             rows = (ov + wc * vc) / denom
             r8, rrs = quant_rows(rows)
             a8_ref[h_i, pl.dslice(r0, rg), :] = r8
@@ -671,7 +684,7 @@ def _make_index_maps(geo: MegaGeometry):
 
     def ksm(l, s):
         h, i8 = kv_idx(l, s)
-        return (l, i8, h, 0)
+        return (l, h, i8, 0)
 
     vq = kq
 
@@ -721,11 +734,19 @@ def mega_decode_layers(
 
     xt = x.reshape(b, g.nkc, ck).transpose(1, 0, 2)
     xt = jnp.pad(xt, ((0, 0), (0, bp - b), (0, 0))).astype(jnp.bfloat16)
-    reps = bna // g.head_dim
-    cosb = jnp.pad(jnp.tile(cos.astype(jnp.float32), (1, reps)),
-                   ((0, bp - b), (0, 0)))
-    sinb = jnp.pad(jnp.tile(sin.astype(jnp.float32), (1, reps)),
-                   ((0, bp - b), (0, 0)))
+    hpb = bna // g.head_dim
+    cosb = jnp.pad(
+        jnp.broadcast_to(cos.astype(jnp.float32)[:, None, :],
+                         (b, hpb, g.head_dim)),
+        ((0, bp - b), (0, 0), (0, 0)))[None]
+    sinb = jnp.pad(
+        jnp.broadcast_to(sin.astype(jnp.float32)[:, None, :],
+                         (b, hpb, g.head_dim)),
+        ((0, bp - b), (0, 0), (0, 0)))[None]
+    half = g.head_dim // 2
+    sign = jnp.concatenate(
+        [-jnp.ones((half,), jnp.float32), jnp.ones((half,), jnp.float32)]
+    ).reshape(1, 1, 1, g.head_dim)
     maskb = jnp.pad(cache["kv_mask"].astype(jnp.int32),
                     ((0, bp - b), (0, 0)))
     # cache stacks pass through unchanged: the KV BlockSpecs window
@@ -741,12 +762,15 @@ def mega_decode_layers(
     nxc = g.nkc
     ndk = g.ffn // ck
 
+    hpb_ = bna // g.head_dim
     out_shapes = (
-        jax.ShapeDtypeStruct((nxc, bp, ck), jnp.bfloat16),          # x_out
-        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, bna), jnp.int8),  # knew
-        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, 128), f32),     # knew_s
-        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, bna), jnp.int8),  # vnew
-        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, 128), f32),     # vnew_s
+        jax.ShapeDtypeStruct((nxc, bp, ck), jnp.bfloat16),           # x_out
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, hpb_, g.head_dim),
+                             jnp.int8),                              # knew
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, hpb_), f32),     # knew_s
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, hpb_, g.head_dim),
+                             jnp.int8),                              # vnew
+        jax.ShapeDtypeStruct((g.n_layers * nkb, bp, hpb_), f32),     # vnew_s
     )
     kernel = functools.partial(_mega_kernel, geo=g, eps=eps,
                                sm_scale=sm_scale,
@@ -756,8 +780,12 @@ def mega_decode_layers(
         grid=grid,
         in_specs=[
             pl.BlockSpec((nxc, bp, ck), maps["resident3"]),    # x_in
-            pl.BlockSpec((bp, bna), maps["resident2"]),        # cos
-            pl.BlockSpec((bp, bna), maps["resident2"]),        # sin
+            pl.BlockSpec((1, bp, bna // g.head_dim, g.head_dim),
+                         lambda l, s_: (0, 0, 0, 0)),          # cos
+            pl.BlockSpec((1, bp, bna // g.head_dim, g.head_dim),
+                         lambda l, s_: (0, 0, 0, 0)),          # sin
+            pl.BlockSpec((1, 1, 1, g.head_dim),
+                         lambda l, s_: (0, 0, 0, 0)),          # sign
             pl.BlockSpec((bp, g.t_cap), maps["resident2"]),    # mask
             pl.BlockSpec((1, nxc, ck), maps["norm"]),          # norms
             pl.BlockSpec((1, ck // 4, bna), maps["tape_a"]),
@@ -765,16 +793,18 @@ def mega_decode_layers(
             pl.BlockSpec((1, ck // 4, bnb), maps["tape_b"]),
             pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
             pl.BlockSpec((1, g.rg, 1, dh4, g.t_cap), maps["kq"]),
-            pl.BlockSpec((1, g.rg, 1, g.t_cap), maps["ks"]),
+            pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["ks"]),
             pl.BlockSpec((1, g.rg, 1, t4, g.head_dim), maps["vq"]),
-            pl.BlockSpec((1, g.rg, 1, g.t_cap), maps["vs"]),
+            pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["vs"]),
         ],
         out_specs=(
             pl.BlockSpec((1, bp, ck), maps["x_out"]),
-            pl.BlockSpec((1, bp, bna), maps["kv_new"]),
-            pl.BlockSpec((1, bp, 128), maps["kv_new"]),
-            pl.BlockSpec((1, bp, bna), maps["kv_new"]),
-            pl.BlockSpec((1, bp, 128), maps["kv_new"]),
+            pl.BlockSpec((1, bp, hpb_, g.head_dim),
+                         lambda l, s_: maps["kv_new"](l, s_) + (0,)),
+            pl.BlockSpec((1, bp, hpb_), maps["kv_new"]),
+            pl.BlockSpec((1, bp, hpb_, g.head_dim),
+                         lambda l, s_: maps["kv_new"](l, s_) + (0,)),
+            pl.BlockSpec((1, bp, hpb_), maps["kv_new"]),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
@@ -796,17 +826,16 @@ def mega_decode_layers(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(xt, cosb, sinb, maskb, tapes["norms"], tapes["tape_a"],
+    )(xt, cosb, sinb, sign, maskb, tapes["norms"], tapes["tape_a"],
       tapes["scale_a"], tapes["tape_b"], tapes["scale_b"], kq, ks, vq, vs)
 
     x_new = x_out.transpose(1, 0, 2).reshape(bp, d)[:b]
-    heads_per_blk = bna // g.head_dim
-    def fix(t):  # (L*nkb, bp, bna) -> (L, B, H, dh)
-        t = t.reshape(g.n_layers, nkb, bp, bna)[:, :, :b]
-        t = t.transpose(0, 2, 1, 3)
+    def fix(t):  # (L*nkb, bp, hpb, dh) -> (L, B, H, dh)
+        t = t.reshape(g.n_layers, nkb, bp, hpb_, g.head_dim)[:, :, :b]
+        t = t.transpose(0, 2, 1, 3, 4)
         return t.reshape(g.n_layers, b, g.n_heads, g.head_dim)
-    def fix_s(t):  # (L*nkb, bp, 128) -> (L, B, H)
-        t = t.reshape(g.n_layers, nkb, bp, 128)[:, :, :b, :heads_per_blk]
+    def fix_s(t):  # (L*nkb, bp, hpb) -> (L, B, H)
+        t = t.reshape(g.n_layers, nkb, bp, hpb_)[:, :, :b]
         return t.transpose(0, 2, 1, 3).reshape(g.n_layers, b, g.n_heads)
     return x_new, fix(knew), fix_s(knew_s), fix(vnew), fix_s(vnew_s)
 
@@ -853,8 +882,9 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
 
     k8_all = unpack_kv_heads(cache["k"]).astype(f32)   # (L,B,H,T,dh)
     v8_all = unpack_v_tmajor(cache["v"]).astype(f32)   # (L,B,H,T,dh)
-    ks_all = cache["k_s"].astype(f32)
-    vs_all = cache["v_s"].astype(f32)
+    # mega cache scales live (L, H, B, T); math below wants (L, B, H, T)
+    ks_all = cache["k_s"].astype(f32).transpose(0, 2, 1, 3)
+    vs_all = cache["v_s"].astype(f32).transpose(0, 2, 1, 3)
     mask = cache["kv_mask"].astype(jnp.int32)
 
     cosr = jnp.tile(cos.astype(f32), (1, g.dim // g.head_dim))  # (B, D)
@@ -964,7 +994,8 @@ def apply_kv_update(cache: dict, knew, knew_s, vnew, vnew_s) -> dict:
     k = jax.lax.dynamic_update_slice(
         cache["k"], pack_k_column(knew), (0, 0, 0, 0, wp))
     k_s = jax.lax.dynamic_update_slice(
-        cache["k_s"], knew_s[..., None].astype(cache["k_s"].dtype),
+        cache["k_s"],
+        knew_s.transpose(0, 2, 1)[..., None].astype(cache["k_s"].dtype),
         (0, 0, 0, wp))
     # V: byte (wp % 4) of word (wp // 4)
     word, byte = wp // 4, wp % 4
@@ -975,7 +1006,8 @@ def apply_kv_update(cache: dict, knew, knew_s, vnew, vnew_s) -> dict:
         (vnew[:, :, :, None, :].astype(jnp.int32) & 0xFF) << shift)
     v = jax.lax.dynamic_update_slice(cache["v"], merged, (0, 0, 0, word, 0))
     v_s = jax.lax.dynamic_update_slice(
-        cache["v_s"], vnew_s[..., None].astype(cache["v_s"].dtype),
+        cache["v_s"],
+        vnew_s.transpose(0, 2, 1)[..., None].astype(cache["v_s"].dtype),
         (0, 0, 0, wp))
     kv_mask = jax.lax.dynamic_update_slice(
         cache["kv_mask"], jnp.ones((b, 1), cache["kv_mask"].dtype), (0, wp))

@@ -66,6 +66,9 @@ def _random_cache(key, geo: md.MegaGeometry, prefix: int):
     vf = jax.random.normal(ks[1], (l, b, h, t, dh)) * 0.3
     k_p, k_s = quantize_kv(kf)                      # D-packed
     v_p, v_s = md.quantize_kv_tmajor(vf)            # T-packed
+    # mega cache scales live (L, H, B, T)
+    k_s = k_s.transpose(0, 2, 1, 3)
+    v_s = v_s.transpose(0, 2, 1, 3)
     mask = (jnp.arange(t)[None, :] < prefix).astype(jnp.int32)
     return dict(
         k=k_p, k_s=k_s, v=v_p, v_s=v_s,
@@ -135,8 +138,8 @@ def test_reference_matches_existing_serving_path(setup):
 
     v8 = md.unpack_v_tmajor(cache["v"])  # (L,B,H,T,dh) int8
     old_cache = dict(
-        k=cache["k"], k_s=cache["k_s"],
-        v=pack_kv_heads(v8), v_s=cache["v_s"],
+        k=cache["k"], k_s=cache["k_s"].transpose(0, 2, 1, 3),
+        v=pack_kv_heads(v8), v_s=cache["v_s"].transpose(0, 2, 1, 3),
         kv_mask=cache["kv_mask"], write_pos=cache["write_pos"],
         tok_pos=cache["tok_pos"],
     )
