@@ -148,6 +148,11 @@ class MegaGeometry:
         assert g.ck % 4 == 0 and g.t_cap % 4 == 0
         assert g.bna % g.head_dim == 0 and g.head_dim % 4 == 0
         assert g.n_heads % g.g == 0
+        # gate_up blocks are [g_j | u_j]; the SiLU half feeds the down
+        # phase's (bp, ck) activation chunks directly
+        assert g.bna == 2 * g.ck, "tape-A blocks must be two ck halves"
+        # o/down finishes write whole (bp, ck) residual chunks
+        assert g.bnb == g.ck, "tape-B blocks must match the chunk width"
 
     @classmethod
     def from_config(cls, cfg: LlamaConfig, batch: int, t_cap: int,
@@ -157,25 +162,19 @@ class MegaGeometry:
         dim = cfg.dim
         ffn = cfg.ffn_dim + cfg.ffn_pad
         qw = cfg.n_heads * dh
-        if "ck" not in kw:  # auto-tile for small/test configs
+        if "ck" not in kw:  # auto-tile for small/test configs; bna = 2*ck
             for cand in (1024, 512, 256, 128, 64, 32, 16):
                 if (cand % dh == 0 and dim % cand == 0 and ffn % cand == 0
-                        and cfg.n_heads % max(1, cand // dh) == 0):
+                        and cfg.n_heads % max(1, cand // dh) == 0
+                        and qw % (2 * cand) == 0):
                     kw["ck"] = cand
                     break
         if "g" not in kw:
             kw["g"] = kw["ck"] // dh
         if "bna" not in kw:
-            for cand in (2048, 1024, 512, 256, 128, 64, 32):
-                if (qw % cand == 0 and ffn % max(1, cand // 2) == 0
-                        and cand % dh == 0):
-                    kw["bna"] = cand
-                    break
+            kw["bna"] = 2 * kw["ck"]  # [g_j | u_j] pairing fixes bna
         if "bnb" not in kw:
-            for cand in (1024, 512, 256, 128, 64, 32):
-                if dim % cand == 0:
-                    kw["bnb"] = cand
-                    break
+            kw["bnb"] = kw["ck"]  # residual-chunk writes fix bnb
         geo = cls(
             n_layers=cfg.n_layers, dim=dim, n_heads=cfg.n_heads,
             head_dim=dh, ffn=ffn, t_cap=t_cap, batch=batch, **kw)
@@ -365,8 +364,8 @@ def _mega_kernel(
     hrs_ref,       # (nxc, bp, 1) f32    per (chunk,row) act scales
     qatt_ref,      # (H, bp, dh) int8    roped+quantized q, head-major
     qs_ref,        # (H, bp, 1) f32      q scales per (row, head)
-    kcur_ref,      # (H, bp, dh) bf16    current-token k (dequantized)
-    vcur_ref,      # (H, bp, dh) bf16    current-token v (dequantized)
+    kcur_ref,      # (H, bp, dh) f32     current-token k (dequantized)
+    vcur_ref,      # (H, bp, dh) f32     current-token v (dequantized)
     a8_ref,        # (H, bp, dh) int8    attention out, per (row, head)
     ars_ref,       # (H, bp, 1) f32
     m8_ref,        # (ffn/ck, bp, ck) int8
@@ -488,7 +487,7 @@ def _mega_kernel(
             base = jnp.where(j_a >= kb, out, roped)      # v: no rope
             base = jnp.where(is_q, base * sm_scale, base)
             q8, rs = quant_rows(base)                    # 3-D, native layout
-            deq3 = (q8.astype(f32) * rs).astype(jnp.bfloat16)
+            deq3 = q8.astype(f32) * rs  # f32: requant bins are exact
             srow = rs[..., 0]                            # (bp, heads)
 
             @pl.when(is_q)
@@ -547,10 +546,13 @@ def _mega_kernel(
             v8 = pltpu.bitcast(vq_ref[0, :, 0], jnp.int8)       # (rg, T, dh)
             ksx = ks_ref[0, 0].astype(f32)                      # (rg, T)
             vsx = vs_ref[0, 0].astype(f32)
-            bdims = (((1,), (1,)), ((0,), (0,)))  # batch over the rg rows
+            # batched matvecs over the rg rows; lhs keeps a unit
+            # non-contracting dim (a fully-degenerate lhs trips Mosaic's
+            # dot_dimension_numbers printer)
+            bdims = (((2,), (1,)), ((0,), (0,)))
             logits = jax.lax.dot_general(
-                q8, k8, bdims, preferred_element_type=jnp.int32
-            ).astype(f32)                                       # (rg, T)
+                q8[:, None, :], k8, bdims,
+                preferred_element_type=jnp.int32)[:, 0].astype(f32)  # (rg,T)
             logits = logits * qsx * ksx
             logits = jnp.where(mrow != 0, logits, NEG_INF)
             lcur = jnp.sum(q8.astype(f32) * kc, axis=1,
@@ -561,8 +563,9 @@ def _mega_kernel(
             denom = jnp.sum(w, 1, keepdims=True) + wc
             w8, wrs = quant_rows(w * vsx)
             ov = jax.lax.dot_general(
-                w8, v8, bdims, preferred_element_type=jnp.int32
-            ).astype(f32) * wrs                                  # (rg, dh)
+                w8[:, None, :], v8, bdims,
+                preferred_element_type=jnp.int32
+            )[:, 0].astype(f32) * wrs                            # (rg, dh)
             rows = (ov + wc * vc) / denom
             r8, rrs = quant_rows(rows)
             a8_ref[h_i, pl.dslice(r0, rg), :] = r8
@@ -714,6 +717,7 @@ def mega_decode_layers(
     sm_scale: float | None = None,
     interpret: bool = False,
     debug_phases: str = "full",
+    debug_stub: str = "",
 ):
     """Run ALL decoder layers for one decode position in one pallas call.
 
@@ -775,29 +779,43 @@ def mega_decode_layers(
     kernel = functools.partial(_mega_kernel, geo=g, eps=eps,
                                sm_scale=sm_scale,
                                debug_phases=debug_phases)
-    x_out, knew, knew_s, vnew, vnew_s = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nxc, bp, ck), maps["resident3"]),    # x_in
-            pl.BlockSpec((1, bp, bna // g.head_dim, g.head_dim),
-                         lambda l, s_: (0, 0, 0, 0)),          # cos
-            pl.BlockSpec((1, bp, bna // g.head_dim, g.head_dim),
-                         lambda l, s_: (0, 0, 0, 0)),          # sin
-            pl.BlockSpec((1, 1, 1, g.head_dim),
-                         lambda l, s_: (0, 0, 0, 0)),          # sign
-            pl.BlockSpec((bp, g.t_cap), maps["resident2"]),    # mask
-            pl.BlockSpec((1, nxc, ck), maps["norm"]),          # norms
-            pl.BlockSpec((1, ck // 4, bna), maps["tape_a"]),
-            pl.BlockSpec((1, 1, bna), maps["scale_a"]),
-            pl.BlockSpec((1, ck // 4, bnb), maps["tape_b"]),
-            pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
-            pl.BlockSpec((1, g.rg, 1, dh4, g.t_cap), maps["kq"]),
-            pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["ks"]),
-            pl.BlockSpec((1, g.rg, 1, t4, g.head_dim), maps["vq"]),
-            pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["vs"]),
-        ],
-        out_specs=(
+    # (group, spec, array) triples; debug_stub names comma-separated groups
+    # whose arrays are replaced by a single zero block with a constant index
+    # map — DMA-pattern bisection for on-chip runtime faults.
+    in_triples = [
+        ("xin", pl.BlockSpec((nxc, bp, ck), maps["resident3"]), xt),
+        ("rope", pl.BlockSpec((1, bp, bna // g.head_dim, g.head_dim),
+                              lambda l, s_: (0, 0, 0, 0)), cosb),
+        ("rope", pl.BlockSpec((1, bp, bna // g.head_dim, g.head_dim),
+                              lambda l, s_: (0, 0, 0, 0)), sinb),
+        ("rope", pl.BlockSpec((1, 1, 1, g.head_dim),
+                              lambda l, s_: (0, 0, 0, 0)), sign),
+        ("mask", pl.BlockSpec((bp, g.t_cap), maps["resident2"]), maskb),
+        ("norm", pl.BlockSpec((1, nxc, ck), maps["norm"]), tapes["norms"]),
+        ("tapes", pl.BlockSpec((1, ck // 4, bna), maps["tape_a"]),
+         tapes["tape_a"]),
+        ("tapes", pl.BlockSpec((1, 1, bna), maps["scale_a"]),
+         tapes["scale_a"]),
+        ("tapes", pl.BlockSpec((1, ck // 4, bnb), maps["tape_b"]),
+         tapes["tape_b"]),
+        ("tapes", pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
+         tapes["scale_b"]),
+        ("kv", pl.BlockSpec((1, g.rg, 1, dh4, g.t_cap), maps["kq"]), kq),
+        ("kv", pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["ks"]), ks),
+        ("kv", pl.BlockSpec((1, g.rg, 1, t4, g.head_dim), maps["vq"]), vq),
+        ("kv", pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["vs"]), vs),
+    ]
+    stubbed = set(filter(None, debug_stub.split(",")))
+    in_specs, in_arrays = [], []
+    for grp, spec, arr in in_triples:
+        if grp in stubbed:
+            nd = len(spec.block_shape)
+            spec = pl.BlockSpec(spec.block_shape,
+                                lambda l, s_, nd=nd: (0,) * nd)
+            arr = jnp.zeros(spec.block_shape, arr.dtype)
+        in_specs.append(spec)
+        in_arrays.append(arr)
+    out_specs_full = (
             pl.BlockSpec((1, bp, ck), maps["x_out"]),
             pl.BlockSpec((1, bp, hpb_, g.head_dim),
                          lambda l, s_: maps["kv_new"](l, s_) + (0,)),
@@ -805,7 +823,17 @@ def mega_decode_layers(
             pl.BlockSpec((1, bp, hpb_, g.head_dim),
                          lambda l, s_: maps["kv_new"](l, s_) + (0,)),
             pl.BlockSpec((1, bp, hpb_), maps["kv_new"]),
-        ),
+        )
+    if "outs" in stubbed:
+        out_specs_full = tuple(
+            pl.BlockSpec(sp.block_shape,
+                         lambda l, s_, nd=len(sp.block_shape): (0,) * nd)
+            for sp in out_specs_full)
+    x_out, knew, knew_s, vnew, vnew_s = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs_full,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((nxc, bp, ck), f32),        # xs
@@ -814,8 +842,8 @@ def mega_decode_layers(
             pltpu.VMEM((nxc, bp, 1), f32),         # hrs
             pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.int8),      # qatt
             pltpu.VMEM((g.n_heads, bp, 1), f32),                     # qs
-            pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.bfloat16),   # kcur
-            pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.bfloat16),   # vcur
+            pltpu.VMEM((g.n_heads, bp, g.head_dim), f32),            # kcur
+            pltpu.VMEM((g.n_heads, bp, g.head_dim), f32),            # vcur
             pltpu.VMEM((g.n_heads, bp, g.head_dim), jnp.int8),       # a8
             pltpu.VMEM((g.n_heads, bp, 1), f32),                     # ars
             pltpu.VMEM((ndk, bp, ck), jnp.int8),   # m8
@@ -826,8 +854,7 @@ def mega_decode_layers(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(xt, cosb, sinb, sign, maskb, tapes["norms"], tapes["tape_a"],
-      tapes["scale_a"], tapes["tape_b"], tapes["scale_b"], kq, ks, vq, vs)
+    )(*in_arrays)
 
     x_new = x_out.transpose(1, 0, 2).reshape(bp, d)[:b]
     def fix(t):  # (L*nkb, bp, hpb, dh) -> (L, B, H, dh)

@@ -146,7 +146,7 @@ def mega_checks():
     cfg = LlamaConfig(dim=4096, n_layers=2, n_heads=32, n_kv_heads=32,
                       ffn_dim=11264, weight_quant=True, kv_quant=True,
                       fused_qkv=True)
-    geo = md.MegaGeometry.from_config(cfg, batch=4, t_cap=256)
+    geo = md.MegaGeometry.from_config(cfg, batch=8, t_cap=256)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     l, d, f, qw = 2, 4096, 11264, 4096
@@ -165,18 +165,20 @@ def mega_checks():
     tapes = jax.jit(lambda b: md.build_tapes(b, geo))(blocks)
     big = 2 ** 30
     t = geo.t_cap
+    b = geo.batch
     cache = dict(
-        k=jax.random.randint(ks[4], (l, 4, 32, 32, t), -big, big, jnp.int32),
-        k_s=jnp.full((l, 4, 32, t), 0.02, jnp.bfloat16),
-        v=jax.random.randint(ks[5], (l, 4, 32, t // 4, 128), -big, big,
+        k=jax.random.randint(ks[4], (l, b, 32, 32, t), -big, big, jnp.int32),
+        # mega cache scales live (L, H, B, T) — see mega_decode_layers
+        k_s=jnp.full((l, 32, b, t), 0.02, jnp.bfloat16),
+        v=jax.random.randint(ks[5], (l, b, 32, t // 4, 128), -big, big,
                              jnp.int32),
-        v_s=jnp.full((l, 4, 32, t), 0.02, jnp.bfloat16),
+        v_s=jnp.full((l, 32, b, t), 0.02, jnp.bfloat16),
         kv_mask=jnp.broadcast_to(
-            (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (4, t)),
+            (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (b, t)),
         write_pos=jnp.asarray(t - 8, jnp.int32),
-        tok_pos=jnp.full((4,), t - 8, jnp.int32),
+        tok_pos=jnp.full((b,), t - 8, jnp.int32),
     )
-    x = jax.random.normal(ks[6], (4, d), jnp.bfloat16) * 0.3
+    x = jax.random.normal(ks[6], (b, d), jnp.bfloat16) * 0.3
     cos, sin = md.rope_tables(cache["tok_pos"], 128, cfg.rope_theta)
 
     got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo)

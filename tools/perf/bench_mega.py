@@ -60,10 +60,11 @@ def rand_cache(key, prefix):
     cache = dict(
         k=jax.random.randint(ks[0], (L, B, h, dh // 4, T), -big, big,
                              jnp.int32),
-        k_s=jnp.full((L, B, h, T), 0.02, jnp.bfloat16),
+        # mega cache scales live (L, H, B, T) — see mega_decode_layers
+        k_s=jnp.full((L, h, B, T), 0.02, jnp.bfloat16),
         v=jax.random.randint(ks[1], (L, B, h, T // 4, dh), -big, big,
                              jnp.int32),
-        v_s=jnp.full((L, B, h, T), 0.02, jnp.bfloat16),
+        v_s=jnp.full((L, h, B, T), 0.02, jnp.bfloat16),
         kv_mask=jnp.broadcast_to(
             (jnp.arange(T)[None] < prefix).astype(jnp.int32), (B, T)),
         write_pos=jnp.asarray(prefix, jnp.int32),
