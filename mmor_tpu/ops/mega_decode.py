@@ -640,6 +640,7 @@ def _make_index_maps(geo: MegaGeometry):
     nob = g.dim // g.bnb
     ndk = g.ffn // g.ck
     qb = g.q_width // g.bna
+    kb = 2 * qb   # first v block
     nkb = qb  # k (== v) block count
 
     def resident3(l, s):
@@ -696,13 +697,22 @@ def _make_index_maps(geo: MegaGeometry):
         return (jnp.where(s >= dn0, td // ndk, 0), 0, 0)
 
     def kv_new(l, s):
+        # k outputs: block j_a - qb while the k blocks run, parked after
         in_qkv = s < att0
         j = jnp.clip((s - qkv0) // g.nkc - qb, 0, nkb - 1)
         return (l * nkb + jnp.where(in_qkv, j, nkb - 1), 0, 0)
 
+    def kv_new_v(l, s):
+        # v outputs: v blocks start at j_a == kb (NOT qb — with nkb > 1 a
+        # shared map would park every v block on nkb-1)
+        in_qkv = s < att0
+        j = jnp.clip((s - qkv0) // g.nkc - kb, 0, nkb - 1)
+        return (l * nkb + jnp.where(in_qkv, j, nkb - 1), 0, 0)
+
     return dict(resident3=resident3, resident2=resident2, tape_a=tape_a,
                 scale_a=scale_a, tape_b=tape_b, scale_b=scale_b, norm=norm,
-                kq=kq, ks=ksm, vq=vq, vs=ksm, x_out=x_out, kv_new=kv_new)
+                kq=kq, ks=ksm, vq=vq, vs=ksm, x_out=x_out, kv_new=kv_new,
+                kv_new_v=kv_new_v)
 
 
 def mega_decode_layers(
@@ -821,8 +831,8 @@ def mega_decode_layers(
                          lambda l, s_: maps["kv_new"](l, s_) + (0,)),
             pl.BlockSpec((1, bp, hpb_), maps["kv_new"]),
             pl.BlockSpec((1, bp, hpb_, g.head_dim),
-                         lambda l, s_: maps["kv_new"](l, s_) + (0,)),
-            pl.BlockSpec((1, bp, hpb_), maps["kv_new"]),
+                         lambda l, s_: maps["kv_new_v"](l, s_) + (0,)),
+            pl.BlockSpec((1, bp, hpb_), maps["kv_new_v"]),
         )
     if "outs" in stubbed:
         out_specs_full = tuple(
