@@ -357,26 +357,22 @@ def _mega_kernel(
     knew_s_ref,    # (1, bp, 128) f32
     vnew_ref,      # (1, bp, bna) int8
     vnew_s_ref,    # (1, bp, 128) f32
-    # scratch
-    xs_ref,        # (nxc, bp, ck) f32   residual stream
-    x2s_ref,       # (nxc, bp, ck) f32   post-attention residual
-    hq_ref,        # (nxc, bp, ck) int8  quantized norm output
-    hrs_ref,       # (nxc, bp, 1) f32    per (chunk,row) act scales
-    qatt_ref,      # (H, bp, dh) int8    roped+quantized q, head-major
-    qs_ref,        # (H, bp, 1) f32      q scales per (row, head)
-    kcur_ref,      # (H, bp, dh) f32     current-token k (dequantized)
-    vcur_ref,      # (H, bp, dh) f32     current-token v (dequantized)
-    a8_ref,        # (H, bp, dh) int8    attention out, per (row, head)
-    ars_ref,       # (H, bp, 1) f32
-    m8_ref,        # (ffn/ck, bp, ck) int8
-    mrs_ref,       # (ffn/ck, bp, 1) f32
-    acc_ref,       # (bp, bna) f32
-    *,
+    # optional debug-dump outputs (debug_dump != ""), then scratch:
+    # xs (nxc,bp,ck) f32 | x2s | hq int8 | hrs | qatt (H,bp,dh) int8 | qs |
+    # kcur f32 | vcur f32 | a8 int8 | ars | m8 (ffn/ck,bp,ck) int8 | mrs |
+    # acc (bp,bna) f32
+    *rest,
     geo: MegaGeometry,
     eps: float,
     sm_scale: float,
     debug_phases: str = "full",
+    debug_dump: str = "",
 ):
+    if debug_dump:
+        dump8_ref, dumps_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (xs_ref, x2s_ref, hq_ref, hrs_ref, qatt_ref, qs_ref, kcur_ref,
+     vcur_ref, a8_ref, ars_ref, m8_ref, mrs_ref, acc_ref) = rest
     # debug_phases: comma/plus set of {a, afin, att, b} or "full" —
     # compile-time bisection knob (Mosaic compile cost hunting); production
     # always runs "full".
@@ -620,6 +616,23 @@ def _mega_kernel(
         xs_ref[j_b] = xnew
         x_out_ref[0] = xnew.astype(x_out_ref.dtype)
 
+    # scratch snapshots for on-chip debugging (zero prod cost when "")
+    if debug_dump == "mlp":
+        @pl.when(s == dn0)
+        def _():
+            dump8_ref[0] = m8_ref[...]
+            dumps_ref[0] = mrs_ref[...]
+    elif debug_dump == "att":
+        @pl.when(s == o0)
+        def _():
+            dump8_ref[0] = a8_ref[...]
+            dumps_ref[0] = ars_ref[...]
+    elif debug_dump == "q":
+        @pl.when(s == att0)
+        def _():
+            dump8_ref[0] = qatt_ref[...]
+            dumps_ref[0] = qs_ref[...]
+
 
 # ------------------------------------------------------------------ #
 # call assembly
@@ -728,6 +741,7 @@ def mega_decode_layers(
     interpret: bool = False,
     debug_phases: str = "full",
     debug_stub: str = "",
+    debug_dump: str = "",
 ):
     """Run ALL decoder layers for one decode position in one pallas call.
 
@@ -788,7 +802,8 @@ def mega_decode_layers(
     )
     kernel = functools.partial(_mega_kernel, geo=g, eps=eps,
                                sm_scale=sm_scale,
-                               debug_phases=debug_phases)
+                               debug_phases=debug_phases,
+                               debug_dump=debug_dump)
     # (group, spec, array) triples; debug_stub names comma-separated groups
     # whose arrays are replaced by a single zero block with a constant index
     # map — DMA-pattern bisection for on-chip runtime faults.
@@ -839,7 +854,18 @@ def mega_decode_layers(
             pl.BlockSpec(sp.block_shape,
                          lambda l, s_, nd=len(sp.block_shape): (0,) * nd)
             for sp in out_specs_full)
-    x_out, knew, knew_s, vnew, vnew_s = pl.pallas_call(
+    if debug_dump:
+        dn = {"mlp": ndk, "att": g.n_heads, "q": g.n_heads}[debug_dump]
+        dl = {"mlp": ck, "att": g.head_dim, "q": g.head_dim}[debug_dump]
+        out_specs_full = out_specs_full + (
+            pl.BlockSpec((1, dn, bp, dl), lambda l, s_: (0, 0, 0, 0)),
+            pl.BlockSpec((1, dn, bp, 1), lambda l, s_: (0, 0, 0, 0)),
+        )
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((1, dn, bp, dl), jnp.int8),
+            jax.ShapeDtypeStruct((1, dn, bp, 1), f32),
+        )
+    x_out, knew, knew_s, vnew, vnew_s, *dumps = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -874,7 +900,8 @@ def mega_decode_layers(
     def fix_s(t):  # (L*nkb, bp, hpb) -> (L, B, H)
         t = t.reshape(g.n_layers, nkb, bp, hpb_)[:, :, :b]
         return t.transpose(0, 2, 1, 3).reshape(g.n_layers, b, g.n_heads)
-    return x_new, fix(knew), fix_s(knew_s), fix(vnew), fix_s(vnew_s)
+    out = (x_new, fix(knew), fix_s(knew_s), fix(vnew), fix_s(vnew_s))
+    return out + tuple(dumps) if debug_dump else out
 
 
 # ------------------------------------------------------------------ #
