@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmor_tpu.ops.deformable_attention import ms_deform_attn
+from mmor_tpu.ops.deformable_attention import (ms_deform_attn,
+                                               ms_deform_attn_tiled)
 
 
 def sine_position_embedding_2d(
@@ -96,6 +97,7 @@ class DeformableAttention(nn.Module):
         reference_points: jax.Array,  # (N, Lq, n_levels, 2) in [0, 1]
         value_flatten: jax.Array,  # (N, S, C)
         spatial_shapes: tuple[tuple[int, int], ...],
+        query_shapes: tuple[tuple[int, int], ...] | None = None,
     ) -> jax.Array:
         n, lq, _ = query.shape
         head_dim = self.d_model // self.n_heads
@@ -128,6 +130,11 @@ class DeformableAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn(value, spatial_shapes, locations, weights)
+        if query_shapes is not None:
+            # grid-organized queries (the encoder): MXU-native tiled core
+            out = ms_deform_attn_tiled(value, spatial_shapes, locations,
+                                       weights, query_shapes=query_shapes)
+        else:
+            out = ms_deform_attn(value, spatial_shapes, locations, weights)
         return nn.Dense(self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="output_proj")(out)

@@ -34,7 +34,8 @@ class DeformableEncoderLayer(nn.Module):
         attn = DeformableAttention(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.dtype, self.param_dtype, name="self_attn",
-        )(src + pos, reference_points, src, spatial_shapes)
+        )(src + pos, reference_points, src, spatial_shapes,
+          query_shapes=spatial_shapes)
         src = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                            name="norm1")(src + attn)
         h = nn.Dense(self.d_ffn, dtype=self.dtype, param_dtype=self.param_dtype,

@@ -14,6 +14,8 @@ kernel can replace the gather behind the same API if it ever dominates.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +84,213 @@ def _sample_level(
         wgt.astype(windows.dtype),
         preferred_element_type=jnp.float32,
     )
+
+
+def _masked_gather_core(value, spatial_shapes, loc, attn_w):
+    """The gather core with externally-masked weights (residual path)."""
+    return _gather_core(value, spatial_shapes, loc, attn_w)
+
+
+def _gather_core(value, spatial_shapes, sampling_locations, attention_weights):
+    """Original windowed-gather formulation (also the training/vjp-simple
+    fallback and the exact residual path of the tiled core)."""
+    n, s, m, d = value.shape
+    value_md = value.transpose(0, 2, 1, 3)  # (N, M, S, D)
+    lq = sampling_locations.shape[1]
+    out = jnp.zeros((n, m, lq, d), dtype=jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(value_md, start, h * w, axis=2)
+        start += h * w
+        sampled = _sample_level(value_l, h, w, sampling_locations[:, :, :, lvl])
+        w_l = attention_weights[:, :, :, lvl].astype(jnp.float32).transpose(0, 2, 1, 3)
+        out = out + jnp.einsum("nmqpd,nmqp->nmqd", sampled, w_l)
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d).astype(value.dtype)
+
+
+def _corner_decomp(coord, extent):
+    """align_corners=False bilinear corners along one axis.
+
+    coord: sampling location in [0,1] units; extent: H or W.
+    Returns (c0 int32, w0, w1) with corners (c0, c0+1); out-of-range corners
+    are NOT clipped (callers drop them, matching zero padding)."""
+    t = (coord * extent - 0.5).astype(jnp.float32)
+    c0 = jnp.floor(t)
+    w1 = t - c0
+    return c0.astype(jnp.int32), 1.0 - w1, w1
+
+
+def _tile_rows(lq_shapes, target):
+    """Per query level: rows-per-tile so a tile has ~``target`` queries."""
+    plan = []
+    for h, w in lq_shapes:
+        tr = max(1, min(h, target // max(1, min(w, target))))
+        plan.append(tr)
+    return plan
+
+
+def ms_deform_attn_tiled(
+    value: jax.Array,  # (N, S, M, D)
+    spatial_shapes: tuple[tuple[int, int], ...],
+    sampling_locations: jax.Array,  # (N, Lq, M, L, P, 2)
+    attention_weights: jax.Array,  # (N, Lq, M, L, P)
+    *,
+    query_shapes: tuple[tuple[int, int], ...] | None = None,
+    window_rows: int = 16,
+    tile_queries: int = 160,
+) -> jax.Array:
+    """MXU-native deformable attention for grid-organized queries.
+
+    The encoder's queries ARE the flattened level grids (reference
+    `msdeformattn.py`: encoder self-attention), so a run of consecutive
+    queries is a spatial row band whose sampling points land in a matching
+    row band of each value level (near-identity offsets,
+    `ms_deform_attn.py` init). This core exploits that:
+
+    - queries are processed in row-band tiles of ~``tile_queries``;
+    - for each (tile, value level) a ``window_rows``-row band of the level
+      (contiguous in the flattened S axis -> one dynamic slice, no gather)
+      is fetched;
+    - bilinear sampling + attention weighting collapse into ONE matmul per
+      (tile, head, level): out = S @ window, where S's rows are built from
+      two separable 2-corner one-hots (exact hat weights, f32) summed over
+      the P points — the 4 bilinear corners are the outer product of the
+      y/x one-hots, so S has exactly the grid_sample sparsity but lives as
+      a dense (tile_q, window) operand the MXU consumes directly.
+
+    Samples whose corners fall inside the feature map but OUTSIDE the
+    fetched window (offsets larger than the band) are dropped from the
+    matmul and routed through an exact residual pass: a `lax.cond`-gated
+    run of the gather core with all in-window weights zeroed. With
+    reference-scale offsets the overflow set is empty and the cond costs
+    one predicate.
+
+    Numerics: identical sampling semantics to `_gather_core` / the
+    reference `ms_deform_attn_core_pytorch` (zero padding,
+    align_corners=False); weights accumulate in f32.
+    """
+    n, s, m, d = value.shape
+    _, lq, _, levels, points, _ = sampling_locations.shape
+    if query_shapes is None:
+        query_shapes = spatial_shapes
+    assert lq == sum(h * w for h, w in query_shapes), "query grid mismatch"
+    assert s == sum(h * w for h, w in spatial_shapes)
+
+    f32 = jnp.float32
+    loc = sampling_locations.astype(f32)
+    attn = attention_weights.astype(f32)
+    trs = _tile_rows(query_shapes, tile_queries)
+
+    # per value level: (N, H*W, M, D) views
+    v_levels = []
+    start = 0
+    for h, w in spatial_shapes:
+        v_levels.append(
+            jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1))
+        start += h * w
+
+    out_parts = []  # per query level: (N, Lq_l, M, D) f32
+    overflow_any = jnp.zeros((), jnp.bool_)
+    overflow_mask = jnp.zeros((n, lq, m, levels, points), jnp.bool_)
+    q0 = 0
+    for (hq, wq), tr in zip(query_shapes, trs):
+        lq_l = hq * wq
+        ntile = -(-hq // tr)
+        pad_rows = ntile * tr - hq
+        tq = tr * wq
+        loc_l = loc[:, q0:q0 + lq_l]
+        attn_l = attn[:, q0:q0 + lq_l]
+        if pad_rows:
+            loc_l = jnp.pad(loc_l, ((0, 0), (0, pad_rows * wq), (0, 0),
+                                    (0, 0), (0, 0), (0, 0)),
+                            constant_values=0.5)
+            attn_l = jnp.pad(attn_l, ((0, 0), (0, pad_rows * wq), (0, 0),
+                                      (0, 0), (0, 0)))
+        # (N, ntile, TQ, M, L, P, ...)
+        loc_t = loc_l.reshape(n, ntile, tq, m, levels, points, 2)
+        attn_t = attn_l.reshape(n, ntile, tq, m, levels, points)
+
+        acc = jnp.zeros((n, ntile, tq, m, d), f32)
+        ovf_l = []
+        for lvl, (hv, wv) in enumerate(spatial_shapes):
+            wh = min(window_rows, hv)
+            y0, wy0, wy1 = _corner_decomp(loc_t[..., lvl, :, 1], hv)
+            x0, wx0, wx1 = _corner_decomp(loc_t[..., lvl, :, 0], wv)
+            aw = attn_t[..., lvl, :]  # (N, ntile, TQ, P)
+
+            # window start per (batch, tile): min in-bounds corner row,
+            # clamped so the band fits the level
+            ys = jnp.min(jnp.clip(y0, 0, hv - 1), axis=(2, 3, 4))
+            ys = jnp.clip(ys, 0, max(hv - wh, 0))  # (N, ntile)
+
+            iy0 = y0 - ys[:, :, None, None, None]
+            iy1 = iy0 + 1
+            yin0 = (iy0 >= 0) & (iy0 < wh) & (y0 >= 0) & (y0 < hv)
+            yin1 = (iy1 >= 0) & (iy1 < wh) & (y0 + 1 >= 0) & (y0 + 1 < hv)
+            xin0 = (x0 >= 0) & (x0 < wv)
+            xin1 = (x0 + 1 >= 0) & (x0 + 1 < wv)
+
+            # overflow: corner inside the map but outside the y-band.
+            # An overflowing SAMPLE is dropped from S entirely (aw -> 0) and
+            # recomputed whole by the residual pass — corner-level splitting
+            # would double-count its in-window corners there.
+            ovf = (((y0 >= 0) & (y0 < hv) & ~yin0 & (wy0 > 0))
+                   | ((y0 + 1 >= 0) & (y0 + 1 < hv) & ~yin1 & (wy1 > 0)))
+            ovf = ovf & (aw != 0)
+            ovf_l.append(ovf)
+            aw = jnp.where(ovf, 0.0, aw)
+
+            ity = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 1, wh), 5)
+            itx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 1, wv), 5)
+            wy_oh = (jnp.where(yin0, wy0, 0.0)[..., None]
+                     * (ity == iy0[..., None])
+                     + jnp.where(yin1, wy1, 0.0)[..., None]
+                     * (ity == iy1[..., None]))  # (N,ntile,TQ,M,P,wh)
+            wx_oh = (jnp.where(xin0, wx0, 0.0)[..., None]
+                     * (itx == x0[..., None])
+                     + jnp.where(xin1, wx1, 0.0)[..., None]
+                     * (itx == (x0 + 1)[..., None]))  # (N,ntile,TQ,M,P,wv)
+            wy_oh = wy_oh * aw[..., None]
+
+            # S: contract P -> (N, ntile, TQ, M, wh*wv)
+            s_mat = jnp.einsum("btqmpy,btqmpx->btqmyx", wy_oh, wx_oh,
+                               preferred_element_type=f32)
+            s_mat = s_mat.reshape(n, ntile, tq, m, wh * wv)
+
+            # window fetch: rows [ys, ys+wh) of the row-major level are
+            # contiguous -> one dynamic slice per (batch, tile)
+            v_l = v_levels[lvl]  # (N, H*W, M, D)
+
+            def fetch(vb, ysb):
+                return jax.vmap(lambda y: jax.lax.dynamic_slice(
+                    vb, (y * wv, 0, 0), (wh * wv, m, d)))(ysb)
+
+            win = jax.vmap(fetch)(v_l, ys)  # (N, ntile, wh*wv, M, D)
+
+            acc = acc + jnp.einsum(
+                "btqmk,btkmd->btqmd", s_mat.astype(value.dtype), win,
+                preferred_element_type=f32)
+        # ovf entries: (N, ntile, TQ, M, P) per level -> (N,ntile,TQ,M,L,P)
+        ovf_lvl = jnp.stack(ovf_l, axis=4)
+        ovf_lvl = ovf_lvl.reshape(n, ntile * tq, m, levels, points)[
+            :, :lq_l]
+        overflow_mask = jax.lax.dynamic_update_slice(
+            overflow_mask, ovf_lvl, (0, q0, 0, 0, 0))
+        overflow_any = overflow_any | jnp.any(ovf_lvl)
+        out_parts.append(acc.reshape(n, ntile * tq, m, d)[:, :lq_l])
+        q0 += lq_l
+
+    out = jnp.concatenate(out_parts, axis=1)  # (N, Lq, M, D) f32
+
+    def residual(_):
+        res = _masked_gather_core(
+            value, spatial_shapes, sampling_locations,
+            jnp.where(overflow_mask, attention_weights, 0.0))
+        return res.reshape(n, lq, m, d).astype(f32)
+
+    out = out + jax.lax.cond(
+        overflow_any, residual, lambda _: jnp.zeros_like(out), None)
+    return out.reshape(n, lq, m * d).astype(value.dtype)
 
 
 def ms_deform_attn(

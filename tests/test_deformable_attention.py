@@ -70,3 +70,68 @@ def test_gradients_flow():
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def _grid_refs(shapes):
+    refs = []
+    for h, w in shapes:
+        ys = (np.arange(h) + 0.5) / h
+        xs = (np.arange(w) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    return np.concatenate(refs, 0)
+
+
+@pytest.mark.parametrize("off_scale", [0.03, 0.7])
+def test_tiled_matches_oracle(off_scale):
+    """MXU-tiled core vs the torch grid_sample oracle, grid queries.
+
+    off_scale=0.7 pushes most samples outside the y-band windows and
+    exercises the exact lax.cond residual path."""
+    from mmor_tpu.ops.deformable_attention import ms_deform_attn_tiled
+
+    rng = np.random.default_rng(3)
+    shapes = ((12, 20), (6, 10), (3, 5))
+    n, m, d, points = 2, 4, 8, 4
+    s = sum(h * w for h, w in shapes)
+    lq = s
+    value = rng.standard_normal((n, s, m, d), dtype=np.float32)
+    ref = _grid_refs(shapes)
+    L = len(shapes)
+    off = rng.uniform(-off_scale, off_scale, (n, lq, m, L, points, 2))
+    loc = (ref[None, :, None, None, None, :] + off).astype(np.float32)
+    attn = rng.uniform(0, 1, (n, lq, m, L, points)).astype(np.float32)
+    attn /= attn.reshape(n, lq, m, -1).sum(-1)[..., None, None]
+
+    got = np.asarray(ms_deform_attn_tiled(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        window_rows=6))
+    want = oracle(value, shapes, loc, attn)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tiled_gradients_flow():
+    from mmor_tpu.ops.deformable_attention import ms_deform_attn_tiled
+
+    shapes = ((4, 4), (2, 2))
+    n, m, d, points = 1, 2, 4, 2
+    s = 20
+    lq = s
+    key = jax.random.PRNGKey(0)
+    value = jax.random.normal(key, (n, s, m, d))
+    ref = jnp.asarray(_grid_refs(shapes), jnp.float32)
+    loc = jnp.broadcast_to(
+        ref[None, :, None, None, None, :], (n, lq, m, 2, points, 2))
+    loc = loc + 0.05 * jax.random.normal(jax.random.PRNGKey(1), loc.shape)
+    attn = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(2), (n, lq, m, 2 * points)),
+        axis=-1).reshape(n, lq, m, 2, points)
+
+    def loss(value, loc, attn):
+        return jnp.sum(ms_deform_attn_tiled(value, shapes, loc, attn,
+                                            window_rows=4) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
