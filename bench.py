@@ -108,6 +108,10 @@ def main():
     # token — ops/mega_decode.py); MMOR_TPU_BENCH_MEGA=0 reverts to the
     # round-2 per-op stepwise path
     mega = os.environ.get("MMOR_TPU_BENCH_MEGA", "0") == "1" and quant and fused
+    # decoder projection weight width: 8 (default) or 4 — int4 halves the
+    # weight bytes decode streams AND the duplicated tape copy the mega
+    # server builds; quality gated by tests/test_generation_parity.py
+    wbits = int(os.environ.get("MMOR_TPU_BENCH_WBITS", "8"))
     if quant:
         # packed-int8 weights (6.7 GB) + packed-int8 KV cache; fused qkv /
         # gate-up halves the kernel count per layer — decode is per-kernel-
@@ -116,7 +120,7 @@ def main():
             cfg,
             llama=dataclasses.replace(cfg.llama, weight_quant=True,
                                       kv_quant=True, fused_qkv=fused,
-                                      mega_decode=mega,
+                                      mega_decode=mega, weight_bits=wbits,
                                       ffn_pad=256),  # 11008 -> 11264 tiling
         )
     # raw uint8 frames at native camera resolution, preprocessed on device
@@ -143,8 +147,14 @@ def main():
 
     cache_len = prompt_len + cfg.num_multimodal_tokens - 1 + new_tokens
     # 16-granular: full-T attention blocks don't need 128-multiple lanes;
-    # the 1008->1024 rounding alone wasted ~110 MB of cache at b24
-    cache_len = -(-cache_len // 16) * 16
+    # the 1008->1024 rounding alone wasted ~110 MB of cache at b24.
+    # The megakernel's attention phase reshapes (rg, T) int8 and Mosaic
+    # only supports that at 128-multiple T; it also walks 8-row batch
+    # groups, so mega requires T % 128 == 0 and batch % 8 == 0.
+    granule = 128 if mega else 16
+    cache_len = -(-cache_len // granule) * granule
+    if mega:
+        assert batch_size % 8 == 0, "mega decode needs batch % 8 == 0"
 
     # stepwise = jitted prefill + host-driven donated-cache decode steps;
     # the axon AOT compile copies while_loop cache carries every token, so

@@ -32,6 +32,12 @@ class LlamaConfig:
     remat: bool = False
     weight_quant: bool = False  # int8 weights (serving; see ops/quantized_matmul)
     quant_int8_mxu: bool = True  # int8xint8 MXU path (vs bf16-dequant MXU)
+    # decoder projection weight width: 8 (per-channel scales) or 4
+    # (per-(K-group, channel) scales, 8 weights/int32 word — halves the
+    # weight bytes decode streams; lm_head/embeddings stay 8/bf16).
+    # Gate int4 on the generation-parity tests (tests/test_generation_parity).
+    weight_bits: int = 8
+    weight_group: int = 1024  # int4 K-group; must equal the kernels' K-chunk
     # pad the ffn dim (gate/up outputs, down input) with zero channels:
     # 11008's divisors force tiny matmul tiles (344 grid steps for down_proj
     # at ~5us DMA latency each = ~1.4 ms/call); 11264 = 11*1024 tiles cleanly.

@@ -96,8 +96,10 @@ class SceneGraphPredictor:
         # 16-granular capacity: the attention kernels take full-T blocks so
         # lane tiling doesn't force 128 multiples; the old 128-rounding
         # (1008 -> 1024) alone cost ~110 MB of cache at b24 — the measured
-        # b26 near-miss (commit a3bb013 / VERDICT round-2 weak #3)
-        return -(-need // 16) * 16
+        # b26 near-miss (commit a3bb013 / VERDICT round-2 weak #3).
+        # Megakernel attention reshapes (rg, T) int8 (Mosaic: T % 128 only).
+        granule = 128 if self.cfg.llama.mega_decode else 16
+        return -(-need // granule) * granule
 
     def _generate(self, params, batch):
         from mmor_tpu.models.mm2sg import generate_stepwise, make_prefill

@@ -15,6 +15,7 @@ flash-attn monkey patches (`LLaVA/llava/model/language_model/llava_llama.py`,
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -30,6 +31,7 @@ from mmor_tpu.ops.attention import (
     pack_kv_heads,
 )
 from mmor_tpu.ops.quantized_matmul import (
+    int4_matmul_packed,
     int8_matmul_packed,
     pack_int8_rows,
     quantize_weights,
@@ -57,24 +59,39 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 class QuantDense(nn.Module):
-    """Dense with int8 weights packed 4-per-int32 + per-channel scales,
-    served by the Pallas packed dequant-matmul kernel (weights rest packed in
-    HBM so decode streams them at the full DMA byte rate — narrow int8
-    tensors cap at half, see ops/quantized_matmul.pack_int8_rows).
-    Parameter tree: {w_p int32 (in/4, out), scale (out,)}; populate via
-    ``quantize_llama_params`` — init values are placeholders."""
+    """Dense with int8 weights packed 4-per-int32 + per-channel scales
+    (``bits=8``), or int4 packed 8-per-int32 + per-(K-group, channel)
+    scales (``bits=4``), served by the Pallas packed dequant-matmul
+    kernels (weights rest packed in HBM so decode streams them at the full
+    DMA byte rate — narrow int8 tensors cap at half, see
+    ops/quantized_matmul.pack_int8_rows).
+    Parameter tree: {w_p int32 (in/4 or in/8, out), scale ((out,) or
+    (in/group, out))}; populate via ``quantize_llama_params`` — init
+    values are placeholders."""
 
     features: int
     int8_mxu: bool = True
+    bits: int = 8
+    group: int = 1024
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = x.shape[-1]
-        w_p = self.param("w_p", nn.initializers.zeros,
-                         (k // 4, self.features), jnp.int32)
-        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         flat = x.reshape(-1, k)
-        out = int8_matmul_packed(flat, w_p, scale, int8_mxu=self.int8_mxu)
+        if self.bits == 4:
+            w_p = self.param("w_p", nn.initializers.zeros,
+                             (k // 8, self.features), jnp.int32)
+            scale = self.param("scale", nn.initializers.ones,
+                               (k // self.group, self.features), jnp.float32)
+            out = int4_matmul_packed(flat, w_p, scale, group=self.group,
+                                     int8_mxu=self.int8_mxu)
+        else:
+            w_p = self.param("w_p", nn.initializers.zeros,
+                             (k // 4, self.features), jnp.int32)
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.features,), jnp.float32)
+            out = int8_matmul_packed(flat, w_p, scale,
+                                     int8_mxu=self.int8_mxu)
         return out.reshape(*x.shape[:-1], self.features)
 
 
@@ -130,7 +147,8 @@ class LlamaBlock(nn.Module):
         decode = segment_ids is None
         if cfg.weight_quant:
             dense = lambda feats, name: QuantDense(
-                feats, int8_mxu=cfg.quant_int8_mxu, name=name)
+                feats, int8_mxu=cfg.quant_int8_mxu, bits=cfg.weight_bits,
+                group=cfg.weight_group, name=name)
         else:
             dense = lambda feats, name: nn.Dense(
                 feats, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
@@ -616,17 +634,25 @@ def fuse_llama_params(params: dict, tp_segments: int = 1) -> dict:
 
 
 def quantize_llama_params(params: dict, ffn_pad: int = 0,
-                          tp_segments: int = 1) -> dict:
-    """bf16/f32 LlamaModel params -> packed-int8 tree for weight_quant=True.
+                          tp_segments: int = 1, bits: int = 8,
+                          group: int = 1024) -> dict:
+    """bf16/f32 LlamaModel params -> packed-int8/int4 tree for
+    weight_quant=True.
 
     Blocks' stacked (L, in, out) kernels quantize per layer and pack
     4 int8 rows per int32 (full-rate HBM streaming, see
-    ops/quantized_matmul.pack_int8_rows); lm_head quantizes whole;
-    embeddings and norms stay as-is. Handles both the split and the fused
-    (qkv_proj / gate_up_proj) projection layouts; ``tp_segments`` must match
-    the value the fused kernels were built with (``fuse_llama_params``) so
-    the ffn zero-padding lands inside each segment's gate/up chunk.
+    ops/quantized_matmul.pack_int8_rows) — or, with ``bits=4``, 8 biased
+    nibbles per int32 with per-(K-``group``, channel) scales
+    (pack_int4_rows). lm_head quantizes to int8 either way (quality-
+    critical, and a minority of decode bytes); embeddings and norms stay
+    as-is. Handles both the split and the fused (qkv_proj / gate_up_proj)
+    projection layouts; ``tp_segments`` must match the value the fused
+    kernels were built with (``fuse_llama_params``) so the ffn
+    zero-padding lands inside each segment's gate/up chunk.
     """
+    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
+                                               quantize_weights_int4)
+
     tree = jax.tree.map(lambda x: x, params)  # shallow copy
     inner = tree["params"] if "params" in tree else tree
     blocks = inner["blocks"]
@@ -650,8 +676,18 @@ def quantize_llama_params(params: dict, ffn_pad: int = 0,
                 ).reshape(l, d, f2 + 2 * ffn_pad)
             elif name == "down_proj":
                 kernel = jnp.pad(kernel, ((0, 0), (0, ffn_pad), (0, 0)))
-        w_q, scale = jax.vmap(quantize_weights)(kernel)
-        blocks[name] = {"w_p": jax.vmap(pack_int8_rows)(w_q), "scale": scale}
+        if bits == 4:
+            w_q, scale = jax.vmap(
+                functools.partial(quantize_weights_int4, group=group))(kernel)
+            blocks[name] = {
+                "w_p": jax.vmap(
+                    functools.partial(pack_int4_rows, block=group))(w_q),
+                "scale": scale,
+            }
+        else:
+            w_q, scale = jax.vmap(quantize_weights)(kernel)
+            blocks[name] = {"w_p": jax.vmap(pack_int8_rows)(w_q),
+                            "scale": scale}
     head = inner["lm_head"].pop("kernel")
     w_q, scale = quantize_weights(head)
     inner["lm_head"] = {"w_p": pack_int8_rows(w_q), "scale": scale}

@@ -240,25 +240,37 @@ def ms_deform_attn_tiled(
             ovf_l.append(ovf)
             aw = jnp.where(ovf, 0.0, aw)
 
+            # head-major layouts so the big ops are clean batched matmuls
+            # over leading (batch, tile, head) dims — interleaved einsum
+            # dims made XLA materialize transposed copies of the
+            # gigabyte-scale S (measured 545 ms/frame vs the gather core's
+            # 308 before this reorder)
+            to_hm = lambda a: a.transpose(0, 1, 3, 2, 4)  # btqmp -> btmqp
+            iy0h, iy1h = to_hm(iy0), to_hm(iy1)
+            x0h = to_hm(x0)
+            awh = to_hm(aw)  # overflow samples already zeroed above
             ity = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 1, wh), 5)
             itx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 1, wv), 5)
-            wy_oh = (jnp.where(yin0, wy0, 0.0)[..., None]
-                     * (ity == iy0[..., None])
-                     + jnp.where(yin1, wy1, 0.0)[..., None]
-                     * (ity == iy1[..., None]))  # (N,ntile,TQ,M,P,wh)
-            wx_oh = (jnp.where(xin0, wx0, 0.0)[..., None]
-                     * (itx == x0[..., None])
-                     + jnp.where(xin1, wx1, 0.0)[..., None]
-                     * (itx == (x0 + 1)[..., None]))  # (N,ntile,TQ,M,P,wv)
-            wy_oh = wy_oh * aw[..., None]
+            wy_oh = (to_hm(jnp.where(yin0, wy0, 0.0))[..., None]
+                     * (ity == iy0h[..., None])
+                     + to_hm(jnp.where(yin1, wy1, 0.0))[..., None]
+                     * (ity == iy1h[..., None]))  # (N,ntile,M,TQ,P,wh)
+            wx_oh = (to_hm(jnp.where(xin0, wx0, 0.0))[..., None]
+                     * (itx == x0h[..., None])
+                     + to_hm(jnp.where(xin1, wx1, 0.0))[..., None]
+                     * (itx == (x0h + 1)[..., None]))  # (N,ntile,M,TQ,P,wv)
+            wy_oh = wy_oh * awh[..., None]
 
-            # S: contract P -> (N, ntile, TQ, M, wh*wv)
-            s_mat = jnp.einsum("btqmpy,btqmpx->btqmyx", wy_oh, wx_oh,
-                               preferred_element_type=f32)
-            s_mat = s_mat.reshape(n, ntile, tq, m, wh * wv)
+            # S: contract P -> (N, ntile, M, TQ, wh*wv), batch dims leading
+            s_mat = jax.lax.dot_general(
+                wy_oh, wx_oh,
+                (((4,), (4,)), ((0, 1, 2, 3), (0, 1, 2, 3))),
+                preferred_element_type=f32)  # (N,ntile,M,TQ,wh,wv)
+            s_mat = s_mat.reshape(n, ntile, m, tq, wh * wv)
 
             # window fetch: rows [ys, ys+wh) of the row-major level are
-            # contiguous -> one dynamic slice per (batch, tile)
+            # contiguous -> one dynamic slice per (batch, tile); transpose
+            # to head-major (small vs S) for the batched matmul
             v_l = v_levels[lvl]  # (N, H*W, M, D)
 
             def fetch(vb, ysb):
@@ -266,10 +278,14 @@ def ms_deform_attn_tiled(
                     vb, (y * wv, 0, 0), (wh * wv, m, d)))(ysb)
 
             win = jax.vmap(fetch)(v_l, ys)  # (N, ntile, wh*wv, M, D)
+            win = win.transpose(0, 1, 3, 2, 4)  # (N, ntile, M, wh*wv, D)
 
-            acc = acc + jnp.einsum(
-                "btqmk,btkmd->btqmd", s_mat.astype(value.dtype), win,
-                preferred_element_type=f32)
+            # (TQ, K) @ (K, D) batched over (N, ntile, M)
+            out_hm = jax.lax.dot_general(
+                s_mat.astype(value.dtype), win,
+                (((4,), (3,)), ((0, 1, 2), (0, 1, 2))),
+                preferred_element_type=f32)  # (N, ntile, M, TQ, D)
+            acc = acc + out_hm.transpose(0, 1, 3, 2, 4)
         # ovf entries: (N, ntile, TQ, M, P) per level -> (N,ntile,TQ,M,L,P)
         ovf_lvl = jnp.stack(ovf_l, axis=4)
         ovf_lvl = ovf_lvl.reshape(n, ntile * tq, m, levels, points)[

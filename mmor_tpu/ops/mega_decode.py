@@ -68,6 +68,12 @@ class MegaGeometry:
     bna: int = 2048   # N-block width, tape A (qkv / gate_up)
     bnb: int = 1024   # N-block width, tape B (o / down)
     g: int = 8        # attention head group (g * head_dim == ck)
+    wbits: int = 8    # weight width: 8 (per-channel scales, 4/int32 word)
+    #                   or 4 (per-(ck, channel) scales, 8 biased nibbles/word)
+
+    @property
+    def ckw(self) -> int:  # tape word-rows per K-chunk
+        return self.ck // (8 if self.wbits == 4 else 4)
 
     @property
     def bp(self) -> int:  # padded batch rows (int8 sublane tile)
@@ -90,8 +96,15 @@ class MegaGeometry:
         return self.n_heads // self.g
 
     @property
-    def rg(self) -> int:  # attention batch-row group (sublane alignment)
-        return 8 if self.batch % 8 == 0 else self.batch
+    def rg(self) -> int:  # attention batch-row group (8-aligned sublanes)
+        # largest 8-multiple divisor of batch (<= bp): fewer, fatter
+        # attention steps — the walk is (head x batch/rg) grid steps and
+        # each step costs ~2.5 us fixed on this chip, so at b=24 rg=24
+        # removes 2k grid steps/token vs rg=8
+        for cand in (32, 24, 16, 8):
+            if self.batch % cand == 0:
+                return cand
+        return self.batch
 
     @property
     def nb8(self) -> int:  # row groups per attention head
@@ -131,10 +144,14 @@ class MegaGeometry:
 
     @property
     def sa_per_layer(self) -> int:  # scale rows, tape A
+        if self.wbits == 4:
+            return self.a_tiles_per_layer  # one row per (j, kk) tile
         return self.wqkv // self.bna + 2 * self.ffn // self.bna
 
     @property
     def sb_per_layer(self) -> int:
+        if self.wbits == 4:
+            return self.b_tiles_per_layer
         return 2 * (self.dim // self.bnb)
 
     def validate(self):
@@ -146,6 +163,10 @@ class MegaGeometry:
         assert g.ffn % (g.bna // 2) == 0
         assert g.dim % g.bnb == 0
         assert g.ck % 4 == 0 and g.t_cap % 4 == 0
+        assert g.wbits in (8, 4)
+        if g.wbits == 4:
+            assert g.ck % 8 == 0 and g.ck % 256 == 0, \
+                "int4 halves must stay lane-tile aligned"
         assert g.bna % g.head_dim == 0 and g.head_dim % 4 == 0
         assert g.n_heads % g.g == 0
         # gate_up blocks are [g_j | u_j]; the SiLU half feeds the down
@@ -158,6 +179,7 @@ class MegaGeometry:
     def from_config(cls, cfg: LlamaConfig, batch: int, t_cap: int,
                     **kw) -> "MegaGeometry":
         assert cfg.n_kv_heads == cfg.n_heads, "megakernel assumes MHA"
+        kw.setdefault("wbits", cfg.weight_bits)
         dh = cfg.head_dim
         dim = cfg.dim
         ffn = cfg.ffn_dim + cfg.ffn_pad
@@ -179,6 +201,10 @@ class MegaGeometry:
             n_layers=cfg.n_layers, dim=dim, n_heads=cfg.n_heads,
             head_dim=dh, ffn=ffn, t_cap=t_cap, batch=batch, **kw)
         geo.validate()
+        if geo.wbits == 4:
+            assert cfg.weight_group == geo.ck, (
+                "int4 scale group must equal the kernel K-chunk",
+                cfg.weight_group, geo.ck)
         return geo
 
 
@@ -208,16 +234,19 @@ def interleave_gate_up(w_p: jax.Array, scale: jax.Array, ffn: int,
                        half: int) -> tuple[jax.Array, jax.Array]:
     """Permute fused [gate | up] columns into per-block pairs
     [g_0 | u_0 | g_1 | u_1 | ...] with each chunk ``half`` wide, so every
-    bna block is [g_j | u_j] and SiLU is block-local in the kernel."""
+    bna block is [g_j | u_j] and SiLU is block-local in the kernel.
+    ``scale`` may be (2*ffn,) per-channel or (K/g, 2*ffn) per-group —
+    the same column permutation applies row-wise."""
     kp, n = w_p.shape
     assert n == 2 * ffn and ffn % half == 0
     nb = ffn // half
     g = w_p[:, :ffn].reshape(kp, nb, half)
     u = w_p[:, ffn:].reshape(kp, nb, half)
     w = jnp.stack([g, u], axis=2).reshape(kp, 2 * ffn)
-    sg = scale[:ffn].reshape(nb, half)
-    su = scale[ffn:].reshape(nb, half)
-    s = jnp.stack([sg, su], axis=1).reshape(2 * ffn)
+    lead = scale.shape[:-1]
+    sg = scale[..., :ffn].reshape(*lead, nb, half)
+    su = scale[..., ffn:].reshape(*lead, nb, half)
+    s = jnp.stack([sg, su], axis=-2).reshape(*lead, 2 * ffn)
     return w, s
 
 
@@ -226,11 +255,20 @@ def build_tapes(blocks: dict, geo: MegaGeometry) -> dict:
     for qkv_proj / o_proj / gate_up_proj / down_proj) -> kernel operands.
 
     Returns dict(tape_a, scale_a, tape_b, scale_b, norms) — pure relayouts
-    of the packed int8 weights (no requantization), built once at load
-    time.
+    of the packed int8/int4 weights (no requantization), built once at
+    load time. int4 scales are per-(K-chunk, channel): one (1, bn) scale
+    row per tape TILE, ordered like the tiles (j-major, kk-minor).
     """
-    ck4 = geo.ck // 4
+    ck4 = geo.ckw
     l = geo.n_layers
+
+    def tile_scales(scale, bn):
+        # (K/ck, N) -> (nj*nk, bn) rows in tile order t = j*nk + kk
+        nk, n = scale.shape
+        nj = n // bn
+        return (scale.reshape(nk, nj, bn).transpose(1, 0, 2)
+                .reshape(nj * nk, bn))
+
     a_tiles, a_scales, b_tiles, b_scales = [], [], [], []
     gu_w, gu_s = jax.vmap(
         functools.partial(interleave_gate_up, ffn=geo.ffn, half=geo.bna // 2)
@@ -238,13 +276,22 @@ def build_tapes(blocks: dict, geo: MegaGeometry) -> dict:
     for li in range(l):
         a_tiles.append(_tile_stack(blocks["qkv_proj"]["w_p"][li], ck4, geo.bna))
         a_tiles.append(_tile_stack(gu_w[li], ck4, geo.bna))
-        a_scales.append(blocks["qkv_proj"]["scale"][li].reshape(-1, geo.bna))
-        a_scales.append(gu_s[li].reshape(-1, geo.bna))
         b_tiles.append(_tile_stack(blocks["o_proj"]["w_p"][li], ck4, geo.bnb))
         b_tiles.append(
             _tile_stack_kmajor(blocks["down_proj"]["w_p"][li], ck4, geo.bnb))
-        b_scales.append(blocks["o_proj"]["scale"][li].reshape(-1, geo.bnb))
-        b_scales.append(blocks["down_proj"]["scale"][li].reshape(-1, geo.bnb))
+        if geo.wbits == 4:
+            a_scales.append(tile_scales(blocks["qkv_proj"]["scale"][li],
+                                        geo.bna))
+            a_scales.append(tile_scales(gu_s[li], geo.bna))
+            b_scales.append(tile_scales(blocks["o_proj"]["scale"][li],
+                                        geo.bnb))
+            b_scales.append(tile_scales(blocks["down_proj"]["scale"][li],
+                                        geo.bnb))
+        else:
+            a_scales.append(blocks["qkv_proj"]["scale"][li].reshape(-1, geo.bna))
+            a_scales.append(gu_s[li].reshape(-1, geo.bna))
+            b_scales.append(blocks["o_proj"]["scale"][li].reshape(-1, geo.bnb))
+            b_scales.append(blocks["down_proj"]["scale"][li].reshape(-1, geo.bnb))
     norms = jnp.stack(
         [blocks["attn_norm"]["scale"], blocks["mlp_norm"]["scale"]], axis=1
     ).astype(jnp.float32)  # (L, 2, dim)
@@ -259,8 +306,10 @@ def build_tapes(blocks: dict, geo: MegaGeometry) -> dict:
 
 def untile_tapes(tapes: dict, geo: MegaGeometry) -> dict:
     """Inverse of build_tapes (testing): recover per-projection packed
-    weights {name: (L, K/4, N)} and scales from the tapes."""
-    ck4 = geo.ck // 4
+    weights {name: (L, K/4 or K/8, N)} and scales from the tapes.
+    Scales come back per-channel (L, N) for wbits=8 and per-chunk
+    (L, K/ck, N) for wbits=4."""
+    ck4 = geo.ckw
     out = {}
     a = tapes["tape_a"].reshape(geo.n_layers, geo.a_tiles_per_layer, ck4,
                                 geo.bna)
@@ -274,25 +323,34 @@ def untile_tapes(tapes: dict, geo: MegaGeometry) -> dict:
         return (t.reshape(nj, nk, ck4, bn).transpose(1, 2, 0, 3)
                  .reshape(nk * ck4, nj * bn))
 
+    def unscale(s, nj, nk, bn):
+        if geo.wbits == 4:
+            # (nj*nk, bn) tile rows -> (K/ck, N)
+            return (s.reshape(nj, nk, bn).transpose(1, 0, 2)
+                     .reshape(nk, nj * bn))
+        return s.reshape(-1)
+
     nqb = geo.wqkv // geo.bna
     ngb = 2 * geo.ffn // geo.bna
+    saq = geo.nq if geo.wbits == 4 else nqb
     out["qkv_proj"] = (
         jax.vmap(lambda t: untile(t[: geo.nq], nqb, geo.nkc, geo.bna))(a),
-        sa[:, :nqb].reshape(geo.n_layers, -1),
+        jax.vmap(lambda s: unscale(s[:saq], nqb, geo.nkc, geo.bna))(sa),
     )
     out["gate_up_interleaved"] = (
         jax.vmap(lambda t: untile(t[geo.nq:], ngb, geo.nkc, geo.bna))(a),
-        sa[:, nqb:].reshape(geo.n_layers, -1),
+        jax.vmap(lambda s: unscale(s[saq:], ngb, geo.nkc, geo.bna))(sa),
     )
     nob = geo.dim // geo.bnb
     ndk = geo.ffn // geo.ck
+    sbo = geo.no if geo.wbits == 4 else nob
     out["o_proj"] = (
         jax.vmap(lambda t: untile(t[: geo.no], nob, geo.nkc, geo.bnb))(b),
-        sb[:, :nob].reshape(geo.n_layers, -1),
+        jax.vmap(lambda s: unscale(s[:sbo], nob, geo.nkc, geo.bnb))(sb),
     )
     out["down_proj"] = (
         jax.vmap(lambda t: untile(t[geo.no:], nob, ndk, geo.bnb))(b),
-        sb[:, nob:].reshape(geo.n_layers, -1),
+        jax.vmap(lambda s: unscale(s[sbo:], nob, ndk, geo.bnb))(sb),
     )
     return out
 
@@ -407,6 +465,23 @@ def _mega_kernel(
             x8, w8, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32).astype(f32)
 
+    def nibble_halves(tape_ref):
+        """int4 tape block (1, ck/8, bn) -> two (ck/2, bn) int8 halves of
+        BIASED nibbles (u = q+8, non-negative); mask+shift+bitcast only —
+        the -8 bias folds into the dot as -8*rowsum(x) (pack_int4_rows)."""
+        w32 = tape_ref[...]
+        lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)[0]
+        hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)[0]
+        return lo, hi
+
+    def dot4(x8, lo, hi):
+        """x8 (bp, ck) int8 vs biased-nibble halves -> f32 (bp, bn),
+        bias-corrected."""
+        h2 = x8.shape[1] // 2
+        part = dot8(x8[:, :h2], lo) + dot8(x8[:, h2:], hi)
+        rowsum = jnp.sum(x8.astype(f32), axis=1, keepdims=True)
+        return part - 8.0 * rowsum
+
     # ---------------- norm steps (attn_norm at s==0, mlp_norm at s==n2)
     def norm_step(src_ref):
         x = src_ref[...]  # (nxc, bp, ck) f32
@@ -443,8 +518,15 @@ def _mega_kernel(
 
         @pl.when(in_a)
         def _():
-            w8 = pltpu.bitcast(tape_a_ref[...], jnp.int8)[0]  # (ck, bna)
-            acc_ref[...] += dot8(hq_ref[kk_a], w8) * hrs_ref[kk_a]
+            if g.wbits == 4:
+                lo, hi = nibble_halves(tape_a_ref)
+                # per-(chunk, channel) weight scale folds in per step; the
+                # finish then skips the per-block rescale
+                acc_ref[...] += (dot4(hq_ref[kk_a], lo, hi)
+                                 * scale_a_ref[0]) * hrs_ref[kk_a]
+            else:
+                w8 = pltpu.bitcast(tape_a_ref[...], jnp.int8)[0]  # (ck, bna)
+                acc_ref[...] += dot8(hq_ref[kk_a], w8) * hrs_ref[kk_a]
 
     fin_a = jnp.logical_and(in_a, kk_a == nkc - 1)
 
@@ -469,7 +551,9 @@ def _mega_kernel(
     if _on("afin"):
         @pl.when(jnp.logical_and(fin_a, in_qkv))
         def _():
-            out = (acc_ref[...] * scale_a_ref[0]).reshape(
+            accv = (acc_ref[...] if g.wbits == 4
+                    else acc_ref[...] * scale_a_ref[0])
+            out = accv.reshape(
                 g.bp, heads_per_blk, dh)          # (bp, heads, dh) f32
             # HF rotate_half entirely inside each head's 128 lanes: a roll
             # by dh/2 on the LAST axis wraps within the head, and a constant
@@ -510,7 +594,8 @@ def _mega_kernel(
     if _on("afin"):
         @pl.when(jnp.logical_and(fin_a, in_gu))
         def _():
-            gu = acc_ref[...] * scale_a_ref[0]
+            gu = (acc_ref[...] if g.wbits == 4
+                  else acc_ref[...] * scale_a_ref[0])
             half = bna // 2
             gate = gu[:, :half]
             up = gu[:, half:]
@@ -589,30 +674,50 @@ def _mega_kernel(
 
     @pl.when(in_o)
     def _():
-        w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]  # (ck, bnb)
         # attention output lives head-major: one (bp, dh) @ (dh, bnb) dot
         # per head of this K-chunk, each folding that head's row scales
         hpc = ck // dh
         part = jnp.zeros((g.bp, bnb), f32)
-        for hh in range(hpc):
-            head = kk_b * hpc + hh
-            part += dot8(a8_ref[head],
-                         w8[hh * dh:(hh + 1) * dh]) * ars_ref[head]
+        if g.wbits == 4:
+            lo, hi = nibble_halves(tape_b_ref)  # (ck/2, bnb) each
+            for hh in range(hpc):
+                head = kk_b * hpc + hh
+                wsl = (lo[hh * dh:(hh + 1) * dh] if hh < hpc // 2
+                       else hi[hh * dh - ck // 2:(hh + 1) * dh - ck // 2])
+                a8h = a8_ref[head]
+                rs = jnp.sum(a8h.astype(f32), axis=1, keepdims=True)
+                part += (dot8(a8h, wsl) - 8.0 * rs) * ars_ref[head]
+            part = part * scale_b_ref[0]
+        else:
+            w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]  # (ck, bnb)
+            for hh in range(hpc):
+                head = kk_b * hpc + hh
+                part += dot8(a8_ref[head],
+                             w8[hh * dh:(hh + 1) * dh]) * ars_ref[head]
         acc_ref[:, :bnb] += part
 
     @pl.when(in_dn)
     def _():
-        w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]
-        part = dot8(m8_ref[kk_b], w8) * mrs_ref[kk_b]
+        if g.wbits == 4:
+            lo, hi = nibble_halves(tape_b_ref)
+            part = (dot4(m8_ref[kk_b], lo, hi)
+                    * scale_b_ref[0]) * mrs_ref[kk_b]
+        else:
+            w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]
+            part = dot8(m8_ref[kk_b], w8) * mrs_ref[kk_b]
         acc_ref[:, :bnb] += part
 
     @pl.when(jnp.logical_and(in_o, last_b))
     def _():
-        x2s_ref[j_b] = xs_ref[j_b] + acc_ref[:, :bnb] * scale_b_ref[0]
+        accv = (acc_ref[:, :bnb] if g.wbits == 4
+                else acc_ref[:, :bnb] * scale_b_ref[0])
+        x2s_ref[j_b] = xs_ref[j_b] + accv
 
     @pl.when(jnp.logical_and(in_dn, last_b))
     def _():
-        xnew = x2s_ref[j_b] + acc_ref[:, :bnb] * scale_b_ref[0]
+        accv = (acc_ref[:, :bnb] if g.wbits == 4
+                else acc_ref[:, :bnb] * scale_b_ref[0])
+        xnew = x2s_ref[j_b] + accv
         xs_ref[j_b] = xnew
         x_out_ref[0] = xnew.astype(x_out_ref.dtype)
 
@@ -672,6 +777,8 @@ def _make_index_maps(geo: MegaGeometry):
         in_gu = s >= gu0
         ta = jnp.where(in_gu, jnp.clip(s - gu0, 0, g.ng - 1),
                        jnp.clip(s - qkv0, 0, g.nq - 1))
+        if g.wbits == 4:  # one scale row per TILE (per-chunk scales)
+            return (l * SA + jnp.where(in_gu, g.nq, 0) + ta, 0, 0)
         return (l * SA + jnp.where(in_gu, nqb, 0) + ta // g.nkc, 0, 0)
 
     def tape_b(l, s):
@@ -684,6 +791,8 @@ def _make_index_maps(geo: MegaGeometry):
         in_dn = s >= dn0
         tb = jnp.where(in_dn, jnp.clip(s - dn0, 0, g.nd - 1),
                        jnp.clip(s - o0, 0, g.no - 1))
+        if g.wbits == 4:
+            return (l * SB + jnp.where(in_dn, g.no, 0) + tb, 0, 0)
         j = jnp.where(in_dn, tb // ndk, tb // g.nkc)
         return (l * SB + jnp.where(in_dn, nob, 0) + j, 0, 0)
 
@@ -817,11 +926,11 @@ def mega_decode_layers(
                               lambda l, s_: (0, 0, 0, 0)), sign),
         ("mask", pl.BlockSpec((bp, g.t_cap), maps["resident2"]), maskb),
         ("norm", pl.BlockSpec((1, nxc, ck), maps["norm"]), tapes["norms"]),
-        ("tapes", pl.BlockSpec((1, ck // 4, bna), maps["tape_a"]),
+        ("tapes", pl.BlockSpec((1, g.ckw, bna), maps["tape_a"]),
          tapes["tape_a"]),
         ("tapes", pl.BlockSpec((1, 1, bna), maps["scale_a"]),
          tapes["scale_a"]),
-        ("tapes", pl.BlockSpec((1, ck // 4, bnb), maps["tape_b"]),
+        ("tapes", pl.BlockSpec((1, g.ckw, bnb), maps["tape_b"]),
          tapes["tape_b"]),
         ("tapes", pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
          tapes["scale_b"]),
@@ -888,6 +997,10 @@ def mega_decode_layers(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # rg=24 KV blocks (3 MB x2 operands x2 buffers) + 2 MB tape
+            # blocks exceed the default 16 MB scoped-vmem budget; the chip
+            # has far more physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*in_arrays)
@@ -932,14 +1045,35 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
     b = g.batch
     ck = g.ck
     un = untile_tapes(tapes, g)
-    w_qkv = jax.vmap(unpack_int8_rows)(un["qkv_proj"][0]).astype(f32)
-    s_qkv = un["qkv_proj"][1]
-    w_gu = jax.vmap(unpack_int8_rows)(un["gate_up_interleaved"][0]).astype(f32)
-    s_gu = un["gate_up_interleaved"][1]
-    w_o = jax.vmap(unpack_int8_rows)(un["o_proj"][0]).astype(f32)
-    s_o = un["o_proj"][1]
-    w_dn = jax.vmap(unpack_int8_rows)(un["down_proj"][0]).astype(f32)
-    s_dn = un["down_proj"][1]
+    if g.wbits == 4:
+        from mmor_tpu.ops.quantized_matmul import unpack_int4_rows
+
+        def dq4(entry):
+            """int4 entry -> fully dequantized f32 weights + unit colscale
+            (the per-chunk scale folds into the weights; the kernel folds
+            it per accumulation step — identical up to f32 rounding)."""
+            wp, sc = entry
+            wv = jax.vmap(lambda p: unpack_int4_rows(p, block=ck)
+                          )(wp).astype(f32)
+            kdim, n = wv.shape[1], wv.shape[2]
+            wv = (wv.reshape(g.n_layers, kdim // ck, ck, n)
+                  * sc[:, :, None, :]).reshape(g.n_layers, kdim, n)
+            return wv, jnp.ones((g.n_layers, n), f32)
+
+        w_qkv, s_qkv = dq4(un["qkv_proj"])
+        w_gu, s_gu = dq4(un["gate_up_interleaved"])
+        w_o, s_o = dq4(un["o_proj"])
+        w_dn, s_dn = dq4(un["down_proj"])
+    else:
+        w_qkv = jax.vmap(unpack_int8_rows)(un["qkv_proj"][0]).astype(f32)
+        s_qkv = un["qkv_proj"][1]
+        w_gu = jax.vmap(unpack_int8_rows)(
+            un["gate_up_interleaved"][0]).astype(f32)
+        s_gu = un["gate_up_interleaved"][1]
+        w_o = jax.vmap(unpack_int8_rows)(un["o_proj"][0]).astype(f32)
+        s_o = un["o_proj"][1]
+        w_dn = jax.vmap(unpack_int8_rows)(un["down_proj"][0]).astype(f32)
+        s_dn = un["down_proj"][1]
     norms = tapes["norms"].reshape(g.n_layers, 2, g.dim)
 
     from mmor_tpu.ops.attention import unpack_kv_heads

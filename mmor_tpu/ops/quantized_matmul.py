@@ -262,6 +262,190 @@ def int8_matmul_packed(
     return out[:m, :n]
 
 
+# ------------------------------------------------------------------ #
+# int4: 8 weights per int32 word, per-(K-group, channel) scales
+# ------------------------------------------------------------------ #
+
+
+def quantize_weights_int4(w: jax.Array, group: int = 1024
+                          ) -> tuple[jax.Array, jax.Array]:
+    """(K, N) float -> (int4 values in an int8 carrier (K, N),
+    scales (K/group, N) f32). Symmetric round-to-nearest per
+    (K-group, output channel); range [-7, 7] keeps the grid symmetric.
+
+    group defaults to the decode kernels' K-chunk (ck) so the per-chunk
+    scale folds into the accumulation step for free."""
+    k, n = w.shape
+    assert k % group == 0, (k, group)
+    wf = jnp.asarray(w, jnp.float32).reshape(k // group, group, n)
+    amax = jnp.max(jnp.abs(wf), axis=1)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)  # (K/group, N)
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
+    return q.reshape(k, n).astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def pack_int4_rows(w_q: jax.Array, block: int | None = None) -> jax.Array:
+    """int4 values (K, N) int8-carried -> (K/8, N) int32, BIASED nibbles.
+
+    Nibbles store q + 8 (q in [-7, 7] -> 1..15, always non-negative), so
+    in-kernel unpacking is mask + bitcast with NO sign extension — the -8
+    bias folds algebraically into the matmul as a rank-1 correction:
+    dot(x, U - 8) = dot(x, U) - 8 * rowsum(x). (Per-byte sign extension
+    inside an int32 word needs borrow-prone SWAR tricks Mosaic has no
+    primitives for.)
+
+    Within each K-``block`` (default: all of K), byte b of word r carries
+    rows (4r+b) [lo nibble] and (block/2 + 4r+b) [hi nibble]: masking with
+    0x0F0F0F0F and bitcasting to int8 yields ``pack_int8_rows``-ordered
+    rows 0..block/2-1 of the block; ``>> 4`` yields rows block/2..block-1
+    — two contiguous halves, so the dot is two half-K matmuls on
+    statically sliced activations. ``block`` must equal the consuming
+    kernel's K-block."""
+    k, n = w_q.shape
+    assert k % 8 == 0
+    if block is None:
+        block = k
+    assert k % block == 0 and block % 8 == 0
+    wq = (w_q.astype(jnp.int32) + 8) & 0xF
+    wb = wq.astype(jnp.int8).reshape(k // block, block, n)
+    half = block // 2
+    lo = jax.vmap(lambda b: pack_int8_rows(b[:half]))(wb)
+    hi = jax.vmap(lambda b: pack_int8_rows(b[half:]))(wb)
+    return (lo | (hi << 4)).reshape(k // 8, n)
+
+
+def unpack_int4_rows(w_p: jax.Array, block: int | None = None) -> jax.Array:
+    """Inverse of pack_int4_rows in plain XLA -> int4 values in int8."""
+    kp, n = w_p.shape
+    if block is None:
+        block = kp * 8
+    wb = w_p.reshape(kp * 8 // block, block // 8, n)
+    lo = jax.vmap(unpack_int8_rows)(wb & 0x0F0F0F0F)
+    hi = jax.vmap(unpack_int8_rows)((wb >> 4) & 0x0F0F0F0F)
+    u = jnp.concatenate([lo, hi], axis=1).reshape(kp * 8, n)
+    return (u.astype(jnp.int32) - 8).astype(jnp.int8)
+
+
+def _packed4_kernel(x_ref, w_ref, scale_ref, rs_ref, o_ref, acc_ref,
+                    *, n_k: int, int8_mxu: bool):
+    """W4A8 matmul step: int32 words -> two contiguous int8 row-halves via
+    nibble sign-extension (3 int32 VPU ops per 4 weights) + bitcast; the
+    per-(K-block, channel) weight scale folds into this step's rescale so
+    grouped int4 costs one extra (M, N) multiply per K-block."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w32 = w_ref[...]
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)        # biased u = q+8
+    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    bk4 = lo.shape[0]  # block_k // 2
+    dims = (((1,), (0,)), ((), ()))
+    x = x_ref[...]
+    if int8_mxu:
+        part = (jax.lax.dot_general(x[:, :bk4], lo, dims,
+                                    preferred_element_type=jnp.int32)
+                + jax.lax.dot_general(x[:, bk4:], hi, dims,
+                                      preferred_element_type=jnp.int32)
+                ).astype(jnp.float32)
+        rowsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        part = (jax.lax.dot_general(x[:, :bk4], lo.astype(jnp.bfloat16),
+                                    dims, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(x[:, bk4:], hi.astype(jnp.bfloat16),
+                                      dims, preferred_element_type=jnp.float32))
+        rowsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    # fold the -8 nibble bias: dot(x, U-8) = dot(x, U) - 8*rowsum(x)
+    acc_ref[...] += (part - 8.0 * rowsum) * scale_ref[0].astype(jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        out = acc_ref[...]
+        if rs_ref is not None:
+            out = out * rs_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def int4_matmul_packed(
+    x: jax.Array,  # (M, K) bf16/f32
+    w_p: jax.Array,  # (K/8, N) int32 packed int4 (pack_int4_rows)
+    scale: jax.Array,  # (K/group, N) f32 per-(K-group, channel)
+    *,
+    group: int = 1024,
+    int8_mxu: bool = True,
+    block_m: int = 256,
+) -> jax.Array:
+    """x @ dequant(unpack4(w_p)) -> (M, N) in x.dtype.
+
+    Same contract as ``int8_matmul_packed`` at half the weight bytes; the
+    K-block is pinned to the scale group so each accumulation step applies
+    its group's scale exactly."""
+    m, k = x.shape
+    kp, n = w_p.shape
+    assert kp * 8 == k, (k, kp)
+    assert k % group == 0 and scale.shape == (k // group, n)
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        wv = unpack_int4_rows(w_p, block=group).astype(jnp.float32)
+        wv = wv.reshape(k // group, group, n) * scale[:, None, :]
+        return jnp.dot(x.astype(jnp.float32),
+                       wv.reshape(k, n)).astype(x.dtype)
+
+    if int8_mxu:
+        row_amax = jnp.max(jnp.abs(x), axis=1, keepdims=True).astype(jnp.float32)
+        row_scale = jnp.where(row_amax > 0, row_amax / 127.0, 1.0)
+        inv = (1.0 / row_scale).astype(x.dtype)
+        xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+        min_m = 32
+    else:
+        xq = x.astype(jnp.bfloat16)
+        row_scale = None
+        min_m = 16
+
+    block_m = min(block_m, max(min_m, -(-m // min_m) * min_m))
+    block_k = group  # one scale row per K-block
+    block_n = _largest_divisor(n, max(128, (3 << 20) // (block_k // 2)), 128)
+    if m % block_m:
+        xq = jnp.pad(xq, ((0, block_m - m % block_m), (0, 0)))
+    m_pad = xq.shape[0]
+
+    grid = (m_pad // block_m, n // block_n, k // block_k)
+    # x halves must pair with the in-block row halves: rows of block kk are
+    # [kk*bk, kk*bk + bk) in order (pack_int4_rows halves are block-local
+    # when the packing is done per K-block) — pack per group upstream.
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((block_k // 8, block_n), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (kk, j)),
+    ]
+    operands = [xq, w_p, scale]
+    if row_scale is not None:
+        rs = row_scale.astype(jnp.float32)
+        if m % block_m:
+            rs = jnp.pad(rs, ((0, block_m - m % block_m), (0, 0)))
+        in_specs.append(pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)))
+        operands.append(rs)
+        kern = functools.partial(_packed4_kernel, n_k=grid[2],
+                                 int8_mxu=int8_mxu)
+    else:
+        def kern(x_ref, w_ref, s_ref, o_ref, acc_ref):
+            return _packed4_kernel(x_ref, w_ref, s_ref, None, o_ref, acc_ref,
+                                   n_k=grid[2], int8_mxu=int8_mxu)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*operands)
+    return out[:m, :n]
+
+
 def quantize_param_tree(params, path_predicate) -> tuple[dict, dict]:
     """Split a flax param tree: kernels selected by ``path_predicate`` are
     quantized into a side table {path: (w_q, scale)}; the original leaves are

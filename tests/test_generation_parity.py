@@ -168,3 +168,49 @@ def test_mega_decode_generation_matches_bf16(trained_model):
     agree = float((ref_tokens == np.asarray(mega_tokens)).mean())
     assert agree >= 0.98, (f"mega token agreement {agree:.3f}\n"
                            f"ref={ref_tokens[0]}\nmega={np.asarray(mega_tokens)[0]}")
+
+
+def test_int4_generation_matches_bf16(trained_model):
+    """int4 weights (per-(K-group, channel) scales, biased-nibble packing —
+    ops/quantized_matmul.quantize_weights_int4) rolled 128 greedy steps:
+    the quality gate for serving with weight_bits=4 (VERDICT round-2 #2).
+
+    int4 is coarser than int8, so the bar is slightly lower but still
+    catches systematic drift; the teacher-forced variant below pins the
+    per-step logit agreement."""
+    cfg, model, params, ids = trained_model
+    prompt = ids[:, :32]
+    ref_tokens = np.asarray(_rollout(cfg, model, params, prompt, N_NEW))
+
+    ffn_pad = 8
+    group = 32  # divides every projection K (128, 352) at this tiny size
+    qcfg = dataclasses.replace(cfg, weight_quant=True, kv_quant=True,
+                               fused_qkv=True, ffn_pad=ffn_pad,
+                               weight_bits=4, weight_group=group)
+    qparams = quantize_llama_params(fuse_llama_params(params),
+                                    ffn_pad=ffn_pad, bits=4, group=group)
+    q_tokens = np.asarray(
+        _rollout(qcfg, LlamaModel(qcfg), qparams, prompt, N_NEW))
+    agree = float((ref_tokens == q_tokens).mean())
+    assert agree >= 0.97, (
+        f"int4 token agreement {agree:.3f}\nref={ref_tokens[0]}"
+        f"\ngot={q_tokens[0]}")
+
+
+def test_int4_teacher_forced_top1(trained_model):
+    cfg, model, params, ids = trained_model
+    group = 32
+    qcfg = dataclasses.replace(cfg, weight_quant=True, kv_quant=True,
+                               fused_qkv=True, ffn_pad=8,
+                               weight_bits=4, weight_group=group)
+    qmodel = LlamaModel(qcfg)
+    qparams = quantize_llama_params(fuse_llama_params(params), ffn_pad=8,
+                                    bits=4, group=group)
+    seq = ids[:, :96]
+    mask = jnp.ones_like(seq)
+    ref_logits, _ = model.apply(params, input_ids=seq, attention_mask=mask)
+    q_logits, _ = qmodel.apply(qparams, input_ids=seq, attention_mask=mask)
+    ref_top = np.asarray(jnp.argmax(ref_logits[:, 32:], -1))
+    q_top = np.asarray(jnp.argmax(q_logits[:, 32:], -1))
+    agree = float((ref_top == q_top).mean())
+    assert agree >= 0.97, f"int4 teacher-forced top-1 agreement {agree:.3f}"

@@ -288,3 +288,59 @@ def test_mega_generate_stepwise_matches_plain(tmp_path):
         qmodel, qparams, batch, max_cache_len=cache_len,
         max_new_tokens=n_new, eos_token_id=-1, cache_buffers=bufs)
     np.testing.assert_array_equal(np.asarray(again), np.asarray(mega_tokens))
+
+
+def test_mega_int4_kernel_matches_reference():
+    """wbits=4 megakernel (biased-nibble tapes, per-(ck, channel) scales)
+    vs its reference at a ck=256 interpret geometry — the int4 analogue of
+    test_mega_kernel_matches_reference; quality itself is gated by
+    tests/test_generation_parity.py::test_int4_*."""
+    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
+                                               quantize_weights_int4)
+
+    cfg = LlamaConfig(
+        vocab_size=128, dim=512, n_layers=1, n_heads=4, n_kv_heads=4,
+        ffn_dim=1024, max_seq_len=64, dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16, weight_quant=True, kv_quant=True,
+        fused_qkv=True, weight_bits=4, weight_group=256,
+    )
+    geo = md.MegaGeometry.from_config(cfg, batch=8, t_cap=32)
+    assert geo.wbits == 4 and geo.ck == 256
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    l, d, f = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    qw = cfg.n_heads * cfg.head_dim
+
+    def q4(key, k_in, n):
+        w = jax.random.normal(key, (l, k_in, n)) * 0.02
+        wq, sc = jax.vmap(
+            lambda x: quantize_weights_int4(x, group=geo.ck))(w)
+        return {"w_p": jax.vmap(
+                    lambda x: pack_int4_rows(x, block=geo.ck))(wq),
+                "scale": sc}
+
+    blocks = {
+        "qkv_proj": q4(ks[0], d, 3 * qw),
+        "o_proj": q4(ks[1], qw, d),
+        "gate_up_proj": q4(ks[2], d, 2 * f),
+        "down_proj": q4(ks[3], f, d),
+        "attn_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[4], (l, d))},
+        "mlp_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[5], (l, d))},
+    }
+    tapes = jax.jit(lambda b: md.build_tapes(b, geo))(blocks)
+    cache = _random_cache(jax.random.PRNGKey(8), geo, prefix=24)
+    x = jax.random.normal(ks[5], (geo.batch, d), jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
+
+    got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo,
+                                interpret=True)
+    ref = md.mega_decode_layers_reference(x, tapes, cache, cos, sin, geo)
+    for name, a, b in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                          ref, got):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if name in ("knew", "vnew"):
+            assert (np.abs(a - b) <= 1).mean() == 1.0, name
+        else:
+            l2 = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+            assert l2 < 0.02, (name, l2)
