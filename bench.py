@@ -112,6 +112,7 @@ def main():
     # weight bytes decode streams AND the duplicated tape copy the mega
     # server builds; quality gated by tests/test_generation_parity.py
     wbits = int(os.environ.get("MMOR_TPU_BENCH_WBITS", "8"))
+    kvbits = int(os.environ.get("MMOR_TPU_BENCH_KVBITS", "8"))
     if quant:
         # packed-int8 weights (6.7 GB) + packed-int8 KV cache; fused qkv /
         # gate-up halves the kernel count per layer — decode is per-kernel-
@@ -121,6 +122,7 @@ def main():
             llama=dataclasses.replace(cfg.llama, weight_quant=True,
                                       kv_quant=True, fused_qkv=fused,
                                       mega_decode=mega, weight_bits=wbits,
+                                      kv_bits=kvbits if mega else 8,
                                       ffn_pad=256),  # 11008 -> 11264 tiling
         )
     # raw uint8 frames at native camera resolution, preprocessed on device

@@ -38,6 +38,12 @@ class LlamaConfig:
     # Gate int4 on the generation-parity tests (tests/test_generation_parity).
     weight_bits: int = 8
     weight_group: int = 1024  # int4 K-group; must equal the kernels' K-chunk
+    # KV-cache element width: 8 or 4. int4 halves the dominant decode
+    # stream (the cache) for the megakernel path; nibbles pack T-halved
+    # (lo = position t, hi = t + T/2) so the attention dots split into two
+    # lane-aligned T/2 halves. Mega-decode only; per-position scales stay
+    # bf16 either way. Gated by tests/test_generation_parity.py.
+    kv_bits: int = 8
     # pad the ffn dim (gate/up outputs, down input) with zero channels:
     # 11008's divisors force tiny matmul tiles (344 grid steps for down_proj
     # at ~5us DMA latency each = ~1.4 ms/call); 11264 = 11*1024 tiles cleanly.

@@ -200,14 +200,25 @@ class LlamaBlock(nn.Module):
                 # serving path: write this layer's quantized+packed KV into
                 # the preallocated capacity stacks carried through the scan
                 k_stack, ks_stack, v_stack, vs_stack = caches
-                k_q, k_s = quantize_kv(k)  # (B, H, D/4, Tp), (B, H, Tp)
-                if cfg.mega_decode:
+                if cfg.mega_decode and cfg.kv_bits == 4:
+                    # int4 mega cache: T-halved nibble layouts span the
+                    # full capacity, so quantize+pack against it directly
+                    # (int-domain pad; masked positions are never read)
+                    from mmor_tpu.ops.mega_decode import (quantize_k_int4,
+                                                          quantize_v_int4)
+
+                    t_cap = k_stack.shape[-1] * 2
+                    k_q, k_s = quantize_k_int4(k, t_cap)
+                    v_q, v_s = quantize_v_int4(v, t_cap)
+                elif cfg.mega_decode:
                     # megakernel cache: V is T-packed ((T/4, Dh) words) so
                     # decode's weighted sum is a native (1,T)x(T,Dh) matvec
                     from mmor_tpu.ops.mega_decode import quantize_kv_tmajor
 
+                    k_q, k_s = quantize_kv(k)
                     v_q, v_s = quantize_kv_tmajor(v)
                 else:
+                    k_q, k_s = quantize_kv(k)
                     v_q, v_s = quantize_kv(v)
                 at = lambda c, u: jax.lax.dynamic_update_slice(
                     c, u[None], (layer_idx, 0, 0, 0, 0))
@@ -223,6 +234,9 @@ class LlamaBlock(nn.Module):
                 caches = (at(k_stack, k_q), at_s(ks_stack, k_s),
                           at(v_stack, v_q), at_s(vs_stack, v_s))
             elif cfg.kv_quant:
+                assert not (cfg.mega_decode and cfg.kv_bits == 4), (
+                    "int4 mega caches pack against the full capacity — "
+                    "serve through make_prefill's donated buffers")
                 k_q, k_s = quantize_kv(k)
                 if cfg.mega_decode:
                     from mmor_tpu.ops.mega_decode import quantize_kv_tmajor
@@ -430,6 +444,10 @@ def build_cache(
     """
     seq = attention_mask.shape[1]
     cur = prefill_kv[0].shape[-1] if cfg.kv_quant else prefill_kv[0].shape[3]
+    if cfg.kv_quant and cfg.mega_decode and cfg.kv_bits == 4:
+        # int4 K stacks are T-HALVED (dh/4, T/2) words and always arrive at
+        # capacity (the prefill packs against it) -> pad must resolve to 0
+        cur *= 2
     pad = max_len - cur
     kv_mask = jnp.pad(attention_mask.astype(jnp.int32),
                       ((0, 0), (0, max_len - seq)))

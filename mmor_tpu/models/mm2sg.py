@@ -281,9 +281,15 @@ def alloc_cache_buffers(cfg: MM2SGConfig, batch: int, max_cache_len: int):
     if not lc.kv_quant:
         return None
     d4 = lc.head_dim // 4
-    shape = (lc.n_layers, batch, lc.n_heads, d4, max_cache_len)
-    vshape = ((lc.n_layers, batch, lc.n_heads, max_cache_len // 4,
-               lc.head_dim) if lc.mega_decode else shape)
+    if lc.mega_decode and lc.kv_bits == 4:
+        # T-halved nibble layouts (ops/mega_decode.quantize_{k,v}_int4)
+        shape = (lc.n_layers, batch, lc.n_heads, d4, max_cache_len // 2)
+        vshape = (lc.n_layers, batch, lc.n_heads, max_cache_len // 8,
+                  lc.head_dim)
+    else:
+        shape = (lc.n_layers, batch, lc.n_heads, d4, max_cache_len)
+        vshape = ((lc.n_layers, batch, lc.n_heads, max_cache_len // 4,
+                   lc.head_dim) if lc.mega_decode else shape)
     # mega scales live head-major (L, H, B, T) — see ops/mega_decode.py
     sshape = ((lc.n_layers, lc.n_heads, batch, max_cache_len)
               if lc.mega_decode

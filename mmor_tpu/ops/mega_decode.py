@@ -70,6 +70,7 @@ class MegaGeometry:
     g: int = 8        # attention head group (g * head_dim == ck)
     wbits: int = 8    # weight width: 8 (per-channel scales, 4/int32 word)
     #                   or 4 (per-(ck, channel) scales, 8 biased nibbles/word)
+    kvbits: int = 8   # KV cache width: 8, or 4 (T-halved biased nibbles)
 
     @property
     def ckw(self) -> int:  # tape word-rows per K-chunk
@@ -167,6 +168,9 @@ class MegaGeometry:
         if g.wbits == 4:
             assert g.ck % 8 == 0 and g.ck % 256 == 0, \
                 "int4 halves must stay lane-tile aligned"
+        assert g.kvbits in (8, 4)
+        if g.kvbits == 4:
+            assert g.t_cap % 8 == 0, "T-halved nibble packing needs T % 8"
         assert g.bna % g.head_dim == 0 and g.head_dim % 4 == 0
         assert g.n_heads % g.g == 0
         # gate_up blocks are [g_j | u_j]; the SiLU half feeds the down
@@ -180,6 +184,7 @@ class MegaGeometry:
                     **kw) -> "MegaGeometry":
         assert cfg.n_kv_heads == cfg.n_heads, "megakernel assumes MHA"
         kw.setdefault("wbits", cfg.weight_bits)
+        kw.setdefault("kvbits", cfg.kv_bits)
         dh = cfg.head_dim
         dim = cfg.dim
         ffn = cfg.ffn_dim + cfg.ffn_pad
@@ -386,6 +391,96 @@ def quantize_kv_tmajor(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                  -127, 127).astype(jnp.int8)
     return pack_v_tmajor(q), scale[..., 0].astype(jnp.bfloat16)
+
+
+# ------------------------------------------------------------------ #
+# int4 KV cache: nibbles pack T-HALVED (lo nibble = position t, hi =
+# t + T/2) so decode's attention dots split into two lane-aligned T/2
+# halves with the head dim intact; the +8 bias (non-negative nibbles,
+# like pack_int4_rows) folds into rank-1 qsum/wsum corrections.
+# ------------------------------------------------------------------ #
+
+
+def _quantize_int4_pos(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., T, D) -> (biased nibble values int8 in [1, 15], bf16 scales
+    (..., T)) — per-position symmetric int4."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -7, 7)
+    return (q + 8).astype(jnp.int8), scale[..., 0].astype(jnp.bfloat16)
+
+
+def pack_k_int4(u: jax.Array) -> jax.Array:
+    """Biased nibbles (..., T, D) -> D-packed T-halved int32 (..., D/4, T/2).
+    Word (r, t) byte b holds dh index 4r+b at position t (lo nibble) and
+    position t + T/2 (hi nibble)."""
+    *lead, t, d = u.shape
+    half = t // 2
+    ut = u.swapaxes(-1, -2)  # (..., D, T)
+    lo = ut[..., :half].reshape(*lead, d // 4, 4, half).astype(jnp.int32)
+    hi = ut[..., half:].reshape(*lead, d // 4, 4, half).astype(jnp.int32)
+    b = (lo & 0xF) | ((hi & 0xF) << 4)  # nibble pair per byte
+    return (b[..., 0, :] | (b[..., 1, :] << 8) | (b[..., 2, :] << 16)
+            | (b[..., 3, :] << 24))
+
+
+def pack_v_int4(u: jax.Array) -> jax.Array:
+    """Biased nibbles (..., T, D) -> T-packed T-halved int32 (..., T/8, D).
+    Word (r, d) byte b holds position 4r+b of the FIRST T-half (lo nibble)
+    and of the second half (hi nibble)."""
+    *lead, t, d = u.shape
+    half = t // 2
+    lo = u[..., :half, :].reshape(*lead, half // 4, 4, d).astype(jnp.int32)
+    hi = u[..., half:, :].reshape(*lead, half // 4, 4, d).astype(jnp.int32)
+    b = (lo & 0xF) | ((hi & 0xF) << 4)
+    return (b[..., 0, :] | (b[..., 1, :] << 8) | (b[..., 2, :] << 16)
+            | (b[..., 3, :] << 24))
+
+
+def quantize_k_int4(k: jax.Array, t_cap: int | None = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """(..., T, D) float K -> (D-packed T-halved int32 (..., D/4, Tc/2),
+    scales (..., T) bf16); pads positions to ``t_cap`` in the int domain
+    first (nibble pairing spans the capacity halves). Padded positions
+    hold nibble 0 — garbage values the kv_mask excludes."""
+    u, scale = _quantize_int4_pos(k)
+    if t_cap is not None and t_cap != u.shape[-2]:
+        pad = [(0, 0)] * (u.ndim - 2) + [(0, t_cap - u.shape[-2]), (0, 0)]
+        u = jnp.pad(u, pad)
+    return pack_k_int4(u), scale
+
+
+def quantize_v_int4(v: jax.Array, t_cap: int | None = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """(..., T, D) float V -> (T-packed T-halved int32 (..., Tc/8, D),
+    scales (..., T) bf16); capacity padding as quantize_k_int4."""
+    u, scale = _quantize_int4_pos(v)
+    if t_cap is not None and t_cap != u.shape[-2]:
+        pad = [(0, 0)] * (u.ndim - 2) + [(0, t_cap - u.shape[-2]), (0, 0)]
+        u = jnp.pad(u, pad)
+    return pack_v_int4(u), scale
+
+
+def unpack_k_int4(kp: jax.Array, t: int) -> jax.Array:
+    """Inverse of quantize_k_int4's packing -> int values (..., T, D)."""
+    *lead, d4, half = kp.shape
+    parts = []
+    for nib in (kp & 0x0F0F0F0F, (kp >> 4) & 0x0F0F0F0F):
+        bs = [((nib >> (8 * b)) & 0xFF).astype(jnp.int8) for b in range(4)]
+        parts.append(jnp.stack(bs, axis=-2).reshape(*lead, d4 * 4, half))
+    u = jnp.concatenate(parts, axis=-1)  # (..., D, T)
+    return (u.swapaxes(-1, -2).astype(jnp.int32) - 8).astype(jnp.int8)
+
+
+def unpack_v_int4(vp: jax.Array, t: int) -> jax.Array:
+    """Inverse of quantize_v_int4's packing -> int values (..., T, D)."""
+    *lead, t8, d = vp.shape
+    parts = []
+    for nib in (vp & 0x0F0F0F0F, (vp >> 4) & 0x0F0F0F0F):
+        bs = [((nib >> (8 * b)) & 0xFF).astype(jnp.int8) for b in range(4)]
+        parts.append(jnp.stack(bs, axis=-2).reshape(*lead, t8 * 4, d))
+    u = jnp.concatenate(parts, axis=-2)  # (..., T, D)
+    return (u.astype(jnp.int32) - 8).astype(jnp.int8)
 
 
 # ------------------------------------------------------------------ #
@@ -623,17 +718,32 @@ def _mega_kernel(
             kc = kcur_ref[h_i, pl.dslice(r0, rg), :].astype(f32)
             vc = vcur_ref[h_i, pl.dslice(r0, rg), :].astype(f32)
             mrow = mask_ref[pl.dslice(r0, rg), :]               # (rg, T)
-            k8 = pltpu.bitcast(kq_ref[0, :, 0], jnp.int8)       # (rg, dh, T)
-            v8 = pltpu.bitcast(vq_ref[0, :, 0], jnp.int8)       # (rg, T, dh)
             ksx = ks_ref[0, 0].astype(f32)                      # (rg, T)
             vsx = vs_ref[0, 0].astype(f32)
             # batched matvecs over the rg rows; lhs keeps a unit
             # non-contracting dim (a fully-degenerate lhs trips Mosaic's
             # dot_dimension_numbers printer)
             bdims = (((2,), (1,)), ((0,), (0,)))
-            logits = jax.lax.dot_general(
-                q8[:, None, :], k8, bdims,
-                preferred_element_type=jnp.int32)[:, 0].astype(f32)  # (rg,T)
+            half_t = g.t_cap // 2
+            if g.kvbits == 4:
+                # T-halved biased nibbles: two lane-aligned T/2 dots +
+                # a rank-1 -8*qsum bias correction (quantize_k_int4)
+                kw = kq_ref[0, :, 0]                    # (rg, dh/4, T/2)
+                klo = pltpu.bitcast(kw & 0x0F0F0F0F, jnp.int8)
+                khi = pltpu.bitcast((kw >> 4) & 0x0F0F0F0F, jnp.int8)
+                q3 = q8[:, None, :]
+                llo = jax.lax.dot_general(
+                    q3, klo, bdims, preferred_element_type=jnp.int32)[:, 0]
+                lhi = jax.lax.dot_general(
+                    q3, khi, bdims, preferred_element_type=jnp.int32)[:, 0]
+                qsum = jnp.sum(q8.astype(f32), axis=1, keepdims=True)
+                logits = (jnp.concatenate([llo, lhi], axis=1).astype(f32)
+                          - 8.0 * qsum)
+            else:
+                k8 = pltpu.bitcast(kq_ref[0, :, 0], jnp.int8)   # (rg, dh, T)
+                logits = jax.lax.dot_general(
+                    q8[:, None, :], k8, bdims,
+                    preferred_element_type=jnp.int32)[:, 0].astype(f32)
             logits = logits * qsx * ksx
             logits = jnp.where(mrow != 0, logits, NEG_INF)
             lcur = jnp.sum(q8.astype(f32) * kc, axis=1,
@@ -643,10 +753,24 @@ def _mega_kernel(
             wc = jnp.exp(lcur - mmax)
             denom = jnp.sum(w, 1, keepdims=True) + wc
             w8, wrs = quant_rows(w * vsx)
-            ov = jax.lax.dot_general(
-                w8[:, None, :], v8, bdims,
-                preferred_element_type=jnp.int32
-            )[:, 0].astype(f32) * wrs                            # (rg, dh)
+            if g.kvbits == 4:
+                vw = vq_ref[0, :, 0]                    # (rg, T/8, dh)
+                vlo = pltpu.bitcast(vw & 0x0F0F0F0F, jnp.int8)
+                vhi = pltpu.bitcast((vw >> 4) & 0x0F0F0F0F, jnp.int8)
+                ov = (jax.lax.dot_general(
+                        w8[:, None, :half_t], vlo, bdims,
+                        preferred_element_type=jnp.int32)
+                      + jax.lax.dot_general(
+                        w8[:, None, half_t:], vhi, bdims,
+                        preferred_element_type=jnp.int32))[:, 0].astype(f32)
+                wsum = jnp.sum(w8.astype(f32), axis=1, keepdims=True)
+                ov = (ov - 8.0 * wsum) * wrs             # (rg, dh)
+            else:
+                v8 = pltpu.bitcast(vq_ref[0, :, 0], jnp.int8)   # (rg, T, dh)
+                ov = jax.lax.dot_general(
+                    w8[:, None, :], v8, bdims,
+                    preferred_element_type=jnp.int32
+                )[:, 0].astype(f32) * wrs                        # (rg, dh)
             rows = (ov + wc * vc) / denom
             r8, rrs = quant_rows(rows)
             a8_ref[h_i, pl.dslice(r0, rg), :] = r8
@@ -865,8 +989,10 @@ def mega_decode_layers(
     b, d = x.shape
     assert b == g.batch and d == g.dim
     bp, ck, bna, bnb = g.bp, g.ck, g.bna, g.bnb
+    # int4 KV: K words are (dh/4, T/2) T-halved nibbles, V words (T/8, dh)
+    kv_t = g.t_cap // 2 if g.kvbits == 4 else g.t_cap
     dh4 = g.head_dim // 4
-    t4 = g.t_cap // 4
+    t4 = g.t_cap // (8 if g.kvbits == 4 else 4)
     nkb = g.q_width // g.bna
 
     xt = x.reshape(b, g.nkc, ck).transpose(1, 0, 2)
@@ -934,7 +1060,7 @@ def mega_decode_layers(
          tapes["tape_b"]),
         ("tapes", pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
          tapes["scale_b"]),
-        ("kv", pl.BlockSpec((1, g.rg, 1, dh4, g.t_cap), maps["kq"]), kq),
+        ("kv", pl.BlockSpec((1, g.rg, 1, dh4, kv_t), maps["kq"]), kq),
         ("kv", pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["ks"]), ks),
         ("kv", pl.BlockSpec((1, g.rg, 1, t4, g.head_dim), maps["vq"]), vq),
         ("kv", pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["vs"]), vs),
@@ -1078,8 +1204,12 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
 
     from mmor_tpu.ops.attention import unpack_kv_heads
 
-    k8_all = unpack_kv_heads(cache["k"]).astype(f32)   # (L,B,H,T,dh)
-    v8_all = unpack_v_tmajor(cache["v"]).astype(f32)   # (L,B,H,T,dh)
+    if g.kvbits == 4:
+        k8_all = unpack_k_int4(cache["k"], g.t_cap).astype(f32)
+        v8_all = unpack_v_int4(cache["v"], g.t_cap).astype(f32)
+    else:
+        k8_all = unpack_kv_heads(cache["k"]).astype(f32)   # (L,B,H,T,dh)
+        v8_all = unpack_v_tmajor(cache["v"]).astype(f32)   # (L,B,H,T,dh)
     # mega cache scales live (L, H, B, T); math below wants (L, B, H, T)
     ks_all = cache["k_s"].astype(f32).transpose(0, 2, 1, 3)
     vs_all = cache["v_s"].astype(f32).transpose(0, 2, 1, 3)
@@ -1186,23 +1316,66 @@ def pack_k_column(k8: jax.Array) -> jax.Array:
 def apply_kv_update(cache: dict, knew, knew_s, vnew, vnew_s) -> dict:
     """Write the new token's quantized K/V column into the cache at
     ``write_pos`` (one dynamic_update_slice per tensor; V is a T-packed
-    read-modify-write of a single word column) and advance the masks."""
+    read-modify-write of a single word column) and advance the masks.
+
+    The kernel emits int8 columns + scales; with an int4 cache (detected
+    from the K stack's T-halved last dim) the column requantizes to the
+    4-bit grid (scale x 127/7) and merges as a nibble."""
     wp = cache["write_pos"]
     b = knew.shape[1]
-    k = jax.lax.dynamic_update_slice(
-        cache["k"], pack_k_column(knew), (0, 0, 0, 0, wp))
+    t = cache["kv_mask"].shape[1]
+    int4 = cache["k"].shape[-1] == t // 2
+    if int4:
+        l, _, h, dh = knew.shape
+        k4 = jnp.clip(jnp.round(knew.astype(jnp.float32) * (7.0 / 127.0)),
+                      -7, 7)
+        v4 = jnp.clip(jnp.round(vnew.astype(jnp.float32) * (7.0 / 127.0)),
+                      -7, 7)
+        knew_s = knew_s * (127.0 / 7.0)
+        vnew_s = vnew_s * (127.0 / 7.0)
+        ku = (k4 + 8).astype(jnp.int32) & 0xF
+        vu = (v4 + 8).astype(jnp.int32) & 0xF
+        half = t // 2
+        side = wp // half          # 0: lo nibble, 1: hi nibble
+        col = wp % half
+        # K: word column `col`, byte b packs dh index 4r+b
+        kb = ku.reshape(l, b, h, dh // 4, 4)
+        kword = (kb[..., 0] | (kb[..., 1] << 8) | (kb[..., 2] << 16)
+                 | (kb[..., 3] << 24))[..., None]      # (L,B,H,dh/4,1)
+        kshift = side * 4
+        kmask = jnp.left_shift(jnp.int32(0x0F0F0F0F), kshift)
+        old = jax.lax.dynamic_slice(cache["k"], (0, 0, 0, 0, col),
+                                    (*cache["k"].shape[:4], 1))
+        merged = (old & ~kmask) | jnp.left_shift(kword, kshift)
+        k = jax.lax.dynamic_update_slice(cache["k"], merged,
+                                         (0, 0, 0, 0, col))
+        # V: word row (col // 4), byte (col % 4), nibble `side`
+        vrow = col // 4
+        vshift = 8 * (col % 4) + 4 * side
+        oldv = jax.lax.dynamic_slice(cache["v"], (0, 0, 0, vrow, 0),
+                                     (*cache["v"].shape[:3], 1,
+                                      cache["v"].shape[4]))
+        vkeep = ~jnp.left_shift(jnp.int32(0xF), vshift)
+        mergedv = (oldv & vkeep) | jnp.left_shift(
+            vu[:, :, :, None, :], vshift)
+        v = jax.lax.dynamic_update_slice(cache["v"], mergedv,
+                                         (0, 0, 0, vrow, 0))
+    else:
+        k = jax.lax.dynamic_update_slice(
+            cache["k"], pack_k_column(knew), (0, 0, 0, 0, wp))
+        # V: byte (wp % 4) of word (wp // 4)
+        word, byte = wp // 4, wp % 4
+        old = jax.lax.dynamic_slice_in_dim(cache["v"], word, 1, axis=3)
+        shift = byte * 8
+        keep = ~(jnp.int32(0xFF) << shift)
+        merged = (old & keep) | (
+            (vnew[:, :, :, None, :].astype(jnp.int32) & 0xFF) << shift)
+        v = jax.lax.dynamic_update_slice(cache["v"], merged,
+                                         (0, 0, 0, word, 0))
     k_s = jax.lax.dynamic_update_slice(
         cache["k_s"],
         knew_s.transpose(0, 2, 1)[..., None].astype(cache["k_s"].dtype),
         (0, 0, 0, wp))
-    # V: byte (wp % 4) of word (wp // 4)
-    word, byte = wp // 4, wp % 4
-    old = jax.lax.dynamic_slice_in_dim(cache["v"], word, 1, axis=3)
-    shift = byte * 8
-    keep = ~(jnp.int32(0xFF) << shift)
-    merged = (old & keep) | (
-        (vnew[:, :, :, None, :].astype(jnp.int32) & 0xFF) << shift)
-    v = jax.lax.dynamic_update_slice(cache["v"], merged, (0, 0, 0, word, 0))
     v_s = jax.lax.dynamic_update_slice(
         cache["v_s"],
         vnew_s.transpose(0, 2, 1)[..., None].astype(cache["v_s"].dtype),
@@ -1283,7 +1456,7 @@ class MegaServer:
 
     def __init__(self, cfg: LlamaConfig, lm_params: dict):
         self.cfg = cfg
-        probe_geo = MegaGeometry.from_config(cfg, batch=1, t_cap=4)
+        probe_geo = MegaGeometry.from_config(cfg, batch=1, t_cap=8)
         self.tapes, self.head = make_mega_lm(lm_params, probe_geo)
         self._steps: dict = {}
 
@@ -1307,7 +1480,8 @@ def greedy_decode_hostloop_mega(
     """Greedy decode via one megakernel call per token (host-driven,
     donated cache). Semantics match models/llama.greedy_decode_hostloop."""
     batch = prompt_logits.shape[0]
-    t_cap = cache["k"].shape[-1]
+    # layout-independent capacity (the int4 K stack's last dim is T/2)
+    t_cap = cache["kv_mask"].shape[1]
     step = server.step_for(batch, t_cap)
     tok = jnp.argmax(prompt_logits[:, -1, :], axis=-1).astype(jnp.int32)
     toks = [tok]

@@ -405,7 +405,11 @@ def int4_matmul_packed(
 
     block_m = min(block_m, max(min_m, -(-m // min_m) * min_m))
     block_k = group  # one scale row per K-block
-    block_n = _largest_divisor(n, max(128, (3 << 20) // (block_k // 2)), 128)
+    # cap by weight-block bytes AND the f32 accumulator (block_m x block_n):
+    # n=12288 with the weight-only cap chose 6144 -> 6.3 MB acc, busting the
+    # 16 MB scoped-vmem stack
+    block_n = _largest_divisor(
+        n, max(128, min((3 << 20) // (block_k // 2), 2048)), 128)
     if m % block_m:
         xq = jnp.pad(xq, ((0, block_m - m % block_m), (0, 0)))
     m_pad = xq.shape[0]
@@ -417,9 +421,11 @@ def int4_matmul_packed(
     in_specs = [
         pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
         pl.BlockSpec((block_k // 8, block_n), lambda i, j, kk: (kk, j)),
-        pl.BlockSpec((1, block_n), lambda i, j, kk: (kk, j)),
+        # (K/group, 1, N): a (1, 1, bn) block keeps the sublane dim equal
+        # to the full middle axis (Mosaic tiling rule for sub-8 blocks)
+        pl.BlockSpec((1, 1, block_n), lambda i, j, kk: (kk, 0, j)),
     ]
-    operands = [xq, w_p, scale]
+    operands = [xq, w_p, scale[:, None, :]]
     if row_scale is not None:
         rs = row_scale.astype(jnp.float32)
         if m % block_m:

@@ -344,3 +344,116 @@ def test_mega_int4_kernel_matches_reference():
         else:
             l2 = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
             assert l2 < 0.02, (name, l2)
+
+
+def test_int4_kv_pack_unpack_and_update():
+    """int4 KV packers roundtrip and apply_kv_update merges a decode
+    column into the T-halved nibble cache exactly."""
+    key = jax.random.PRNGKey(3)
+    l, b, h, t, dh = 2, 3, 4, 16, 8
+    kf = jax.random.normal(key, (l, b, h, t, dh)) * 0.5
+    vf = jax.random.normal(jax.random.PRNGKey(4), (l, b, h, t, dh)) * 0.5
+    kq, ks = md.quantize_k_int4(kf)
+    vq, vs = md.quantize_v_int4(vf)
+    ku = md.unpack_k_int4(kq, t)
+    vu = md.unpack_v_int4(vq, t)
+    # exact pack/unpack roundtrip against the quantizer's own int values
+    # (an independent numpy re-quantization differs on f32 rounding ties)
+    uk, _ = md._quantize_int4_pos(kf)
+    uv, _ = md._quantize_int4_pos(vf)
+    np.testing.assert_array_equal(np.asarray(ku),
+                                  np.asarray(uk, np.int32) - 8)
+    np.testing.assert_array_equal(np.asarray(vu),
+                                  np.asarray(uv, np.int32) - 8)
+
+    # column update at both a lo-half and a hi-half position
+    for wp in (3, t // 2 + 5):
+        cache = dict(
+            k=kq, k_s=ks.transpose(0, 2, 1, 3), v=vq,
+            v_s=vs.transpose(0, 2, 1, 3),
+            kv_mask=jnp.zeros((b, t), jnp.int32),
+            write_pos=jnp.asarray(wp, jnp.int32),
+            tok_pos=jnp.full((b,), wp, jnp.int32),
+        )
+        knew = jax.random.randint(jax.random.PRNGKey(wp), (l, b, h, dh),
+                                  -127, 128, jnp.int8)
+        vnew = jax.random.randint(jax.random.PRNGKey(wp + 9), (l, b, h, dh),
+                                  -127, 128, jnp.int8)
+        ksn = jnp.full((l, b, h), 0.01, jnp.float32)
+        new = md.apply_kv_update(cache, knew, ksn, vnew, ksn)
+        ku2 = np.asarray(md.unpack_k_int4(new["k"], t))
+        vu2 = np.asarray(md.unpack_v_int4(new["v"], t))
+        want_k = np.clip(np.round(np.asarray(knew, np.int32) * 7 / 127),
+                         -7, 7)
+        want_v = np.clip(np.round(np.asarray(vnew, np.int32) * 7 / 127),
+                         -7, 7)
+        np.testing.assert_array_equal(ku2[:, :, :, wp, :], want_k)
+        np.testing.assert_array_equal(vu2[:, :, :, wp, :], want_v)
+        # every other position untouched
+        mask = np.ones(t, bool); mask[wp] = False
+        np.testing.assert_array_equal(ku2[:, :, :, mask, :],
+                                      np.asarray(ku)[:, :, :, mask, :])
+        np.testing.assert_array_equal(vu2[:, :, :, mask, :],
+                                      np.asarray(vu)[:, :, :, mask, :])
+        assert float(new["k_s"][0, 0, 0, wp]) == pytest.approx(
+            0.01 * 127 / 7, rel=1e-2)  # cache scales are bf16
+
+
+def test_mega_generate_stepwise_int4kv(tmp_path):
+    """kv_bits=4 end to end through generate_stepwise (reference fallback):
+    the int4-capacity prefill, nibble cache updates, and MegaServer loop
+    produce a deterministic stream whose first (prefill-argmax) token
+    matches bf16."""
+    import dataclasses
+
+    from mmor_tpu.config import MM2SGConfig
+    from mmor_tpu.models.mm2sg import MM2SG, generate_stepwise
+    from mmor_tpu.models.llama import fuse_llama_params, quantize_llama_params
+
+    cfg0 = MM2SGConfig.tiny()
+    b, t = 2, 16
+    size = cfg0.vision.image_size
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "input_ids": jax.random.randint(key, (b, t), 3,
+                                        cfg0.llama.vocab_size),
+        "attention_mask": jnp.ones((b, t), jnp.int32),
+        "images": jax.random.normal(key, (b, cfg0.pooler.max_views, size,
+                                          size, 3)),
+        "view_mask": jnp.ones((b, cfg0.pooler.max_views), jnp.int32),
+        "audio_embedding": jnp.zeros((b, cfg0.pooler.audio_dim)),
+    }
+    batch["input_ids"] = batch["input_ids"].at[:, 2].set(-200)
+    model0 = MM2SG(cfg0)
+    params0 = model0.init(
+        jax.random.PRNGKey(1), batch["input_ids"], batch["attention_mask"],
+        batch["images"], batch["view_mask"],
+        audio_embedding=batch["audio_embedding"],
+    )
+    n_new = 10
+    cache_len = 64
+    ref_tokens, _ = generate_stepwise(
+        model0, params0, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1)
+
+    qcfg = dataclasses.replace(
+        cfg0, llama=dataclasses.replace(
+            cfg0.llama, weight_quant=True, kv_quant=True, fused_qkv=True,
+            mega_decode=True, kv_bits=4))
+    lm = params0["params"]["language_model"]
+    lm_q = quantize_llama_params(
+        fuse_llama_params({"params": lm}))["params"]
+    qparams = {"params": dict(params0["params"], language_model=lm_q)}
+    qmodel = MM2SG(qcfg)
+    toks, bufs = generate_stepwise(
+        qmodel, qparams, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1)
+    assert bufs is not None
+    assert bufs[0].shape[-1] == cache_len // 2, "K must be T-halved int4"
+    assert bufs[2].shape[-2] == cache_len // 8, "V must be T-halved int4"
+    np.testing.assert_array_equal(np.asarray(toks[:, 0]),
+                                  np.asarray(ref_tokens[:, 0]))
+    again, _ = generate_stepwise(
+        qmodel, qparams, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1, cache_buffers=bufs)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(toks))
