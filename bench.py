@@ -59,9 +59,13 @@ def panoptic_metric():
     from mmor_tpu.models.tracker import TrackerConfig
 
     bf = jnp.bfloat16
+    # Pallas one-hot-matmul sampler (ops/deformable_sampler.py) for the
+    # deformable encoder — the gather core was 97% of frame time;
+    # MMOR_TPU_BENCH_SAMPLER=gather reverts
+    sampler = os.environ.get("MMOR_TPU_BENCH_SAMPLER", "pallas")
     cfg = DVISConfig(
         segmenter=SegmenterConfig(
-            decoder=MaskDecoderConfig(dtype=bf), dtype=bf),
+            decoder=MaskDecoderConfig(dtype=bf), dtype=bf, sampler=sampler),
         tracker=TrackerConfig(dtype=bf, noise_mode="none"),
         refiner=RefinerConfig(dtype=bf),
     )

@@ -98,6 +98,7 @@ class DeformableAttention(nn.Module):
         value_flatten: jax.Array,  # (N, S, C)
         spatial_shapes: tuple[tuple[int, int], ...],
         query_shapes: tuple[tuple[int, int], ...] | None = None,
+        sampler: str = "gather",
     ) -> jax.Array:
         n, lq, _ = query.shape
         head_dim = self.d_model // self.n_heads
@@ -130,8 +131,12 @@ class DeformableAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        if query_shapes is not None:
-            # grid-organized queries (the encoder): MXU-native tiled core
+        if query_shapes is not None and sampler == "pallas":
+            from mmor_tpu.ops.deformable_sampler import ms_deform_attn_pallas
+
+            out = ms_deform_attn_pallas(value, spatial_shapes, locations,
+                                        weights, query_shapes=query_shapes)
+        elif query_shapes is not None and sampler == "tiled":
             out = ms_deform_attn_tiled(value, spatial_shapes, locations,
                                        weights, query_shapes=query_shapes)
         else:

@@ -31,12 +31,12 @@ class DeformableEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
-                 query_shapes=None):
+                 query_shapes=None, sampler="gather"):
         attn = DeformableAttention(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.dtype, self.param_dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes,
-          query_shapes=query_shapes)
+          query_shapes=query_shapes, sampler=sampler)
         src = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                            name="norm1")(src + attn)
         h = nn.Dense(self.d_ffn, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -66,12 +66,9 @@ class MSDeformAttnPixelDecoder(nn.Module):
     n_layers: int = 6
     n_heads: int = 8
     n_points: int = 4
-    # route encoder self-attention sampling through the MXU-tiled core
-    # (ops/deformable_attention.ms_deform_attn_tiled). The XLA formulation
-    # is exact but materializes ~2.8 GB of S-matrices per layer — measured
-    # SLOWER than the gather core on-chip (80 vs 48 ms/frame-layer), so it
-    # stays off until the Pallas fusion lands; the op + tests remain.
-    tiled_sampler: bool = False
+    # encoder sampling core: "gather" | "pallas" | "tiled"
+    # (see SegmenterConfig.sampler)
+    sampler: str = "gather"
     transformer_features: tuple[str, ...] = ("res3", "res4", "res5")
     fpn_feature: str = "res2"
     dtype: jnp.dtype = jnp.float32
@@ -109,12 +106,17 @@ class MSDeformAttnPixelDecoder(nn.Module):
         )[None]
         refs = _reference_points(shapes, n_levels)[None]
 
-        qshapes = tuple(shapes) if self.tiled_sampler else None
+        sampler = self.sampler
+        if sampler == "pallas" and jax.devices()[0].platform not in (
+                "tpu", "axon"):
+            sampler = "gather"  # kernel is TPU-only; CPU tests keep gather
+        qshapes = tuple(shapes) if sampler != "gather" else None
         for i in range(self.n_layers):
             src = DeformableEncoderLayer(
                 self.conv_dim, self.conv_dim * 4, n_levels, self.n_heads,
                 self.n_points, self.dtype, self.param_dtype, name=f"layer_{i}",
-            )(src, pos, refs, tuple(shapes), query_shapes=qshapes)
+            )(src, pos, refs, tuple(shapes), query_shapes=qshapes,
+              sampler=sampler)
 
         # split back to maps, high->low res order (res5, res4, res3)
         maps = []

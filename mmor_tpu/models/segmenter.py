@@ -35,6 +35,11 @@ class SegmenterConfig:
     conv_dim: int = 256
     mask_dim: int = 256
     pixel_decoder_layers: int = 6
+    # deformable-encoder sampling core: "gather" (XLA windowed gather,
+    # differentiable — training), "pallas" (VMEM one-hot-matmul kernel,
+    # inference; falls back to gather off-TPU), "tiled" (XLA S-matrix
+    # core, exact but HBM-bound — kept for cross-checks)
+    sampler: str = "gather"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -86,6 +91,7 @@ class VideoSegmenter(nn.Module):
             conv_dim=cfg.conv_dim,
             mask_dim=cfg.mask_dim,
             n_layers=cfg.pixel_decoder_layers,
+            sampler=cfg.sampler,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             name="pixel_decoder",

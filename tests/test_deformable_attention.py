@@ -135,3 +135,29 @@ def test_tiled_gradients_flow():
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.max(jnp.abs(g))) > 0
+
+
+@pytest.mark.parametrize("off_scale", [0.03, 0.5])
+def test_pallas_sampler_matches_oracle(off_scale):
+    """Pallas one-hot-matmul sampler (interpret mode) vs the torch
+    grid_sample oracle; off_scale=0.5 exercises the residual path."""
+    from mmor_tpu.ops.deformable_sampler import ms_deform_attn_pallas
+
+    rng = np.random.default_rng(5)
+    shapes = ((24, 40), (12, 20), (6, 10))
+    n, m, d, points = 2, 4, 8, 4
+    s = sum(h * w for h, w in shapes)
+    lq = s
+    value = rng.standard_normal((n, s, m, d), dtype=np.float32)
+    ref = _grid_refs(shapes)
+    L = len(shapes)
+    off = rng.uniform(-off_scale, off_scale, (n, lq, m, L, points, 2))
+    loc = (ref[None, :, None, None, None, :] + off).astype(np.float32)
+    attn = rng.uniform(0, 1, (n, lq, m, L, points)).astype(np.float32)
+    attn /= attn.reshape(n, lq, m, -1).sum(-1)[..., None, None]
+
+    got = np.asarray(ms_deform_attn_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        interpret=True))
+    want = oracle(value, shapes, loc, attn)
+    np.testing.assert_allclose(got, want, atol=1e-4)
