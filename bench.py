@@ -6,14 +6,16 @@ tokens) -> projector -> multimodal splice -> prefill -> greedy KV-cached
 decode (full 300 tokens, no early stop) — on synthetic inputs, and prints ONE
 JSON line.
 
-Default configuration: packed-int8 decoder weights + packed-int8 KV cache
-(4 values per int32 element — narrow dtypes stream at half the DMA byte
-rate on this chip), fused qkv/gate-up projections, stepwise donated-cache
-decode, and raw uint8 native-resolution frames preprocessed on device
-inside the jit'd prefill (BASELINE's fused-preprocessing requirement). The
-6.7 GB weight + 6 GB cache footprint fits batch 22 on one chip; decode is
-per-kernel-overhead bound (~0.15-0.25 ms/pallas-call), not bandwidth-bound
-(docs/DESIGN.md).
+Default configuration is a fastest-first LADDER (each rung falls through on
+OOM/compile failure): (1) whole-decode-step megakernel (all 32 layers in one
+pallas call per token, ops/mega_decode.py) with int4 weights + int4 KV at
+batch 32, (2) the same at batch 24, (3) the round-2 per-op stepwise int8
+path at batch 20. All rungs use fused qkv/gate-up projections, stepwise
+donated-cache decode, and raw uint8 native-resolution frames preprocessed on
+device inside the jit'd prefill (BASELINE's fused-preprocessing
+requirement). The megakernel is DMA-bound at ~320 GB/s on this chip
+(docs/DESIGN.md §4.1), so int4 tapes + T-halved int4 KV set the bytes/token
+floor; int4 quality is gated by tests/test_generation_parity.py.
 
 ``vs_baseline`` is the ratio against the reference setup's estimated A100
 throughput (batch 8, greedy, max_new_tokens 300, LLaVA-v1.5-7B ~= 35 tok/s
@@ -98,29 +100,14 @@ def panoptic_metric():
     }
 
 
-def main():
-    preset = os.environ.get("MMOR_TPU_BENCH_PRESET", "7b")
-    quant = os.environ.get("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
-    default_batch = "20" if quant else "1"  # raw-input ceiling; 24 fits with MMOR_TPU_BENCH_RAW=0
-    batch_size = int(os.environ.get("MMOR_TPU_BENCH_BATCH", default_batch))
-    new_tokens = int(os.environ.get("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
-    prompt_len = int(os.environ.get("MMOR_TPU_BENCH_PROMPT", "128"))
-
+def run_once(preset, quant, fused, mega, wbits, kvbits, batch_size,
+             new_tokens, prompt_len, raw, mode):
+    """Build + warm + time one configuration; returns (fps, tag)."""
     cfg = _preset(preset)
-    fused = os.environ.get("MMOR_TPU_BENCH_FUSED", "1") == "1"
-    # whole-decode-step megakernel (one pallas call for all 32 layers per
-    # token — ops/mega_decode.py); MMOR_TPU_BENCH_MEGA=0 reverts to the
-    # round-2 per-op stepwise path
-    mega = os.environ.get("MMOR_TPU_BENCH_MEGA", "0") == "1" and quant and fused
-    # decoder projection weight width: 8 (default) or 4 — int4 halves the
-    # weight bytes decode streams AND the duplicated tape copy the mega
-    # server builds; quality gated by tests/test_generation_parity.py
-    wbits = int(os.environ.get("MMOR_TPU_BENCH_WBITS", "8"))
-    kvbits = int(os.environ.get("MMOR_TPU_BENCH_KVBITS", "8"))
     if quant:
-        # packed-int8 weights (6.7 GB) + packed-int8 KV cache; fused qkv /
-        # gate-up halves the kernel count per layer — decode is per-kernel-
-        # overhead bound on this chip (~0.15-0.25 ms/call), not bandwidth
+        # packed-int8/int4 weights + packed KV cache; fused qkv / gate-up
+        # halves the kernel count per layer; mega_decode runs all layers in
+        # one pallas call per token (ops/mega_decode.py)
         cfg = dataclasses.replace(
             cfg,
             llama=dataclasses.replace(cfg.llama, weight_quant=True,
@@ -129,9 +116,6 @@ def main():
                                       kv_bits=kvbits if mega else 8,
                                       ffn_pad=256),  # 11008 -> 11264 tiling
         )
-    # raw uint8 frames at native camera resolution, preprocessed on device
-    # inside the jit'd generate (BASELINE fused-preprocessing requirement)
-    raw = os.environ.get("MMOR_TPU_BENCH_RAW", "1") == "1"
     model = MM2SG(cfg)
     batch = _example_batch(cfg, batch=batch_size, prompt_len=prompt_len,
                            key=jax.random.PRNGKey(0), raw_views=raw)
@@ -166,7 +150,6 @@ def main():
     # the axon AOT compile copies while_loop cache carries every token, so
     # the fused whileloop path pays ~4 full-cache copies/token (see
     # models/llama.py::make_decode_step)
-    mode = os.environ.get("MMOR_TPU_BENCH_MODE", "stepwise")
     if mode == "stepwise":
         from mmor_tpu.models.llama import LlamaModel, make_decode_step
         from mmor_tpu.models.mm2sg import generate_stepwise, make_prefill
@@ -207,18 +190,94 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = batch_size * iters / elapsed
-    tag = "int8wkv" if quant else "bf16"
+    if quant:
+        tag = f"int{wbits}w_int{kvbits if mega else 8}kv"
+        if mega:
+            tag += "_mega"
+    else:
+        tag = "bf16"
     if raw:
         tag += "_rawin"  # uint8 native-res frames, on-device preprocessing
+    return fps, tag
+
+
+def main():
+    env = os.environ.get
+    preset = env("MMOR_TPU_BENCH_PRESET", "7b")
+    quant = env("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
+    new_tokens = int(env("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
+    prompt_len = int(env("MMOR_TPU_BENCH_PROMPT", "128"))
+    fused = env("MMOR_TPU_BENCH_FUSED", "1") == "1"
+    # raw uint8 frames at native camera resolution, preprocessed on device
+    # inside the jit'd generate (BASELINE fused-preprocessing requirement)
+    raw = env("MMOR_TPU_BENCH_RAW", "1") == "1"
+    mode = env("MMOR_TPU_BENCH_MODE", "stepwise")
+
+    # Any explicit knob pins a single configuration (no ladder): the env is
+    # how the sweep scripts and CLAUDE.md recipes address one exact setup.
+    pinned = any(env(k) is not None for k in (
+        "MMOR_TPU_BENCH_BATCH", "MMOR_TPU_BENCH_MEGA", "MMOR_TPU_BENCH_WBITS",
+        "MMOR_TPU_BENCH_KVBITS"))
+    if pinned or not quant or mode != "stepwise" or not fused:
+        default_batch = "20" if quant else "1"
+        mega = env("MMOR_TPU_BENCH_MEGA", "0") == "1" and quant and fused
+        attempts = [dict(
+            mega=mega,
+            wbits=int(env("MMOR_TPU_BENCH_WBITS", "8")),
+            kvbits=int(env("MMOR_TPU_BENCH_KVBITS", "8")),
+            batch_size=int(env("MMOR_TPU_BENCH_BATCH", default_batch)),
+        )]
+    else:
+        # Fastest-first ladder (fall through on OOM/compile failure):
+        #   1. megakernel decode, int4 weights + int4 KV, batch 32
+        #   2. same at batch 24
+        #   3. round-2 proven per-op stepwise int8 path, batch 20
+        # The megakernel is one pallas call per token for all 32 layers
+        # (ops/mega_decode.py) and is DMA-bound, so fewer bytes (int4 tapes,
+        # T-halved int4 KV) set the floor; quality is gated by
+        # tests/test_generation_parity.py (int4 W >=0.97, int4 KV >=0.95
+        # greedy-token agreement vs bf16 at 128 steps on a trained model).
+        attempts = [
+            dict(mega=True, wbits=4, kvbits=4, batch_size=32),
+            dict(mega=True, wbits=4, kvbits=4, batch_size=24),
+            dict(mega=False, wbits=8, kvbits=8, batch_size=20),
+        ]
+
+    fps = tag = batch_size = None
+    for i, att in enumerate(attempts):
+        try:
+            batch_size = att["batch_size"]
+            fps, tag = run_once(preset, quant, fused, att["mega"],
+                                att["wbits"], att["kvbits"], batch_size,
+                                new_tokens, prompt_len, raw, mode)
+            break
+        except Exception as e:
+            print(f"[bench] attempt {i} {att} failed: "
+                  f"{type(e).__name__}: {e}"[:400], file=sys.stderr)
+            if i == len(attempts) - 1:
+                raise
+            import gc
+            gc.collect()  # drop device buffers before the next attempt
 
     extra = {}
-    if os.environ.get("MMOR_TPU_BENCH_PANOPTIC", "1") == "1" and preset == "7b":
-        # free the MM2SG footprint before compiling the second stack
-        params = batch = run = state = None
+    if env("MMOR_TPU_BENCH_PANOPTIC", "1") == "1" and preset == "7b":
+        import gc
+        gc.collect()  # free the MM2SG footprint before the second stack
         try:
             extra = panoptic_metric()
         except Exception as e:  # never let the second stack kill the headline
-            extra = {"panoptic_error": f"{type(e).__name__}: {e}"[:200]}
+            if os.environ.get("MMOR_TPU_BENCH_SAMPLER") is None:
+                # pallas sampler failed — retry on the XLA gather core
+                os.environ["MMOR_TPU_BENCH_SAMPLER"] = "gather"
+                try:
+                    extra = panoptic_metric()
+                    extra["panoptic_sampler_fallback"] = (
+                        f"{type(e).__name__}"[:80])
+                except Exception as e2:
+                    extra = {"panoptic_error":
+                             f"{type(e2).__name__}: {e2}"[:200]}
+            else:
+                extra = {"panoptic_error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps({
         "metric": f"mm2sg_{preset}_{tag}_b{batch_size}_e2e_frames_per_sec_per_chip",

@@ -10,13 +10,18 @@ column-updates outside (~10 fused XLA ops).
 
 Design rules (probed in tools/perf/bench_megakernel_probe.py):
 
-- ALL weights live in two uniform "tapes" of packed-int8-in-int32 tiles
-  (`pack_int8_rows` layout): tape A holds qkv + gate_up tiles
-  (ck/4, bna), tape B holds o + down tiles (ck/4, bnb).  One BlockSpec
-  operand per tape; index maps walk the tape as the flat in-layer phase
-  counter advances, and PARK on the last tile outside their phase (same
-  index -> no refetch).  Gate/up columns interleave per bna-block
-  ([g_j | u_j]) so the SiLU boundary is block-local.
+- Weights stay in their per-layer stacked (L, K/4w, N) serving layout
+  (`pack_int8_rows` / `pack_int4_rows`) and are walked IN PLACE: one
+  BlockSpec operand per projection (qkv whole; gate and up as two
+  ALIASED half-views of the one stored gate_up array; o; down), index
+  maps emitting (layer, k-chunk, out-block) as the flat in-layer phase
+  counter advances and PARKING on the phase's first tile before it runs
+  (a free prefetch) / last tile after (same index -> no refetch).
+  Decode therefore shares ONE weight copy with prefill — round 2's flat
+  relayouted "tapes" duplicated all decoder weights (+6.7 GB int8 /
+  +3.3 GB int4), which set the batch ceiling.  The gu accumulator keeps
+  the [g_j | u_j] block layout so SiLU stays block-local; scale_a rows
+  are column-interleaved to match (build_tapes).
 - Activations cross phases as 3-D VMEM tile stacks (n_chunks, 32, ck)
   indexed on the LEADING axis only — round 2 measured lane-dim
   `pl.dslice` reads of resident scratch serializing Mosaic's pipeline
@@ -218,53 +223,48 @@ class MegaGeometry:
 # ------------------------------------------------------------------ #
 
 
-def _tile_stack(w_p: jax.Array, ck4: int, bn: int) -> jax.Array:
-    """(K/4, N) packed kernel -> (n_tiles, ck4, bn) with tiles ordered
-    j-major (output block), kk-minor (K chunk) — matching the kernel's
-    in-phase step order t = j * n_k + kk."""
-    kp, n = w_p.shape
-    nk, nj = kp // ck4, n // bn
-    t = w_p.reshape(nk, ck4, nj, bn).transpose(2, 0, 1, 3)  # (nj, nk, ...)
-    return t.reshape(nj * nk, ck4, bn)
-
-
-def _tile_stack_kmajor(w_p: jax.Array, ck4: int, bn: int) -> jax.Array:
-    """Like _tile_stack but for the DOWN phase whose step order is
-    t = j * n_k + kk with n_k = K-chunks — identical ordering; kept for
-    symmetry/clarity."""
-    return _tile_stack(w_p, ck4, bn)
+def _interleave_cols(x: jax.Array, ffn: int, half: int) -> jax.Array:
+    """Permute fused [gate | up] columns into per-block pairs
+    [g_0 | u_0 | g_1 | u_1 | ...] with each chunk ``half`` wide — the
+    kernel's gu-accumulator layout. Applies row-wise to any leading dims
+    (packed weight rows or per-channel/per-group scale rows alike)."""
+    lead = x.shape[:-1]
+    assert x.shape[-1] == 2 * ffn and ffn % half == 0
+    nb = ffn // half
+    g = x[..., :ffn].reshape(*lead, nb, half)
+    u = x[..., ffn:].reshape(*lead, nb, half)
+    return jnp.stack([g, u], axis=-2).reshape(*lead, 2 * ffn)
 
 
 def interleave_gate_up(w_p: jax.Array, scale: jax.Array, ffn: int,
                        half: int) -> tuple[jax.Array, jax.Array]:
-    """Permute fused [gate | up] columns into per-block pairs
-    [g_0 | u_0 | g_1 | u_1 | ...] with each chunk ``half`` wide, so every
-    bna block is [g_j | u_j] and SiLU is block-local in the kernel.
-    ``scale`` may be (2*ffn,) per-channel or (K/g, 2*ffn) per-group —
-    the same column permutation applies row-wise."""
-    kp, n = w_p.shape
-    assert n == 2 * ffn and ffn % half == 0
-    nb = ffn // half
-    g = w_p[:, :ffn].reshape(kp, nb, half)
-    u = w_p[:, ffn:].reshape(kp, nb, half)
-    w = jnp.stack([g, u], axis=2).reshape(kp, 2 * ffn)
-    lead = scale.shape[:-1]
-    sg = scale[..., :ffn].reshape(*lead, nb, half)
-    su = scale[..., ffn:].reshape(*lead, nb, half)
-    s = jnp.stack([sg, su], axis=-2).reshape(*lead, 2 * ffn)
-    return w, s
+    """_interleave_cols on a packed weight + its scale (testing/reference
+    helper; the serving path stores gate_up PLAIN and the kernel reads the
+    gate and up halves as two aliased BlockSpec operands)."""
+    return (_interleave_cols(w_p, ffn, half),
+            _interleave_cols(scale, ffn, half))
 
 
 def build_tapes(blocks: dict, geo: MegaGeometry) -> dict:
-    """Quantized `blocks` tree (stacked (L, K/4, N) `w_p` + (L, N) `scale`
-    for qkv_proj / o_proj / gate_up_proj / down_proj) -> kernel operands.
+    """Quantized `blocks` tree (stacked (L, K/4w, N) `w_p` + `scale` for
+    qkv_proj / o_proj / gate_up_proj / down_proj) -> kernel operands.
 
-    Returns dict(tape_a, scale_a, tape_b, scale_b, norms) — pure relayouts
-    of the packed int8/int4 weights (no requantization), built once at
-    load time. int4 scales are per-(K-chunk, channel): one (1, bn) scale
-    row per tape TILE, ordered like the tiles (j-major, kk-minor).
+    The BIG weight arrays pass through BY REFERENCE — zero copies. The
+    kernel's BlockSpec index maps walk the per-layer stacked (L, Kp, N)
+    layout directly (qkv/o/down whole, gate_up as two aliased gate/up
+    half-operands), so serving holds ONE copy of the decoder weights,
+    shared with the prefill path (round-2 duplicated them into flat
+    tapes: +6.7 GB int8 / +3.3 GB int4 — the batch ceiling).
+
+    Only the SMALL per-step scale rows and the norm rows are relayouted:
+    scale_a holds one (1, bna) row per A step (qkv rows, then gate_up
+    rows with [sg_j | su_j] column interleave matching the accumulator
+    layout); scale_b the same for o / down. int4 scales are
+    per-(K-chunk, channel): one row per (j, kk) TILE in walk order.
+
+    Call EAGERLY (not under jit): jit would copy the pass-through weight
+    arrays into fresh output buffers, recreating the duplicate.
     """
-    ck4 = geo.ckw
     l = geo.n_layers
 
     def tile_scales(scale, bn):
@@ -274,16 +274,11 @@ def build_tapes(blocks: dict, geo: MegaGeometry) -> dict:
         return (scale.reshape(nk, nj, bn).transpose(1, 0, 2)
                 .reshape(nj * nk, bn))
 
-    a_tiles, a_scales, b_tiles, b_scales = [], [], [], []
-    gu_w, gu_s = jax.vmap(
-        functools.partial(interleave_gate_up, ffn=geo.ffn, half=geo.bna // 2)
-    )(blocks["gate_up_proj"]["w_p"], blocks["gate_up_proj"]["scale"])
+    gu_s = jax.vmap(functools.partial(
+        _interleave_cols, ffn=geo.ffn, half=geo.bna // 2)
+    )(blocks["gate_up_proj"]["scale"])
+    a_scales, b_scales = [], []
     for li in range(l):
-        a_tiles.append(_tile_stack(blocks["qkv_proj"]["w_p"][li], ck4, geo.bna))
-        a_tiles.append(_tile_stack(gu_w[li], ck4, geo.bna))
-        b_tiles.append(_tile_stack(blocks["o_proj"]["w_p"][li], ck4, geo.bnb))
-        b_tiles.append(
-            _tile_stack_kmajor(blocks["down_proj"]["w_p"][li], ck4, geo.bnb))
         if geo.wbits == 4:
             a_scales.append(tile_scales(blocks["qkv_proj"]["scale"][li],
                                         geo.bna))
@@ -301,32 +296,26 @@ def build_tapes(blocks: dict, geo: MegaGeometry) -> dict:
         [blocks["attn_norm"]["scale"], blocks["mlp_norm"]["scale"]], axis=1
     ).astype(jnp.float32)  # (L, 2, dim)
     return dict(
-        tape_a=jnp.concatenate(a_tiles, axis=0),
+        qkv_wp=blocks["qkv_proj"]["w_p"],
+        gu_wp=blocks["gate_up_proj"]["w_p"],
+        o_wp=blocks["o_proj"]["w_p"],
+        dn_wp=blocks["down_proj"]["w_p"],
         scale_a=jnp.concatenate(a_scales, axis=0).astype(jnp.float32)[:, None, :],
-        tape_b=jnp.concatenate(b_tiles, axis=0),
         scale_b=jnp.concatenate(b_scales, axis=0).astype(jnp.float32)[:, None, :],
         norms=norms.reshape(l * 2, geo.nkc, geo.ck),
     )
 
 
 def untile_tapes(tapes: dict, geo: MegaGeometry) -> dict:
-    """Inverse of build_tapes (testing): recover per-projection packed
-    weights {name: (L, K/4 or K/8, N)} and scales from the tapes.
-    Scales come back per-channel (L, N) for wbits=8 and per-chunk
-    (L, K/ck, N) for wbits=4."""
-    ck4 = geo.ckw
+    """Recover per-projection packed weights + scales from the kernel
+    operands (testing / XLA reference). Weights come back per-layer
+    stacked (L, K/4w, N) — with gate_up column-INTERLEAVED into the
+    kernel's [g_j | u_j] accumulator layout, built here from the plain
+    stored array. Scales come back per-channel (L, N) for wbits=8 and
+    per-chunk (L, K/ck, N) for wbits=4."""
     out = {}
-    a = tapes["tape_a"].reshape(geo.n_layers, geo.a_tiles_per_layer, ck4,
-                                geo.bna)
-    b = tapes["tape_b"].reshape(geo.n_layers, geo.b_tiles_per_layer, ck4,
-                                geo.bnb)
     sa = tapes["scale_a"].reshape(geo.n_layers, geo.sa_per_layer, geo.bna)
     sb = tapes["scale_b"].reshape(geo.n_layers, geo.sb_per_layer, geo.bnb)
-
-    def untile(t, nj, nk, bn):
-        # (tiles, ck4, bn) j-major -> (K/4, N)
-        return (t.reshape(nj, nk, ck4, bn).transpose(1, 2, 0, 3)
-                 .reshape(nk * ck4, nj * bn))
 
     def unscale(s, nj, nk, bn):
         if geo.wbits == 4:
@@ -338,23 +327,25 @@ def untile_tapes(tapes: dict, geo: MegaGeometry) -> dict:
     nqb = geo.wqkv // geo.bna
     ngb = 2 * geo.ffn // geo.bna
     saq = geo.nq if geo.wbits == 4 else nqb
+    gu_w = jax.vmap(functools.partial(
+        _interleave_cols, ffn=geo.ffn, half=geo.bna // 2))(tapes["gu_wp"])
     out["qkv_proj"] = (
-        jax.vmap(lambda t: untile(t[: geo.nq], nqb, geo.nkc, geo.bna))(a),
+        tapes["qkv_wp"],
         jax.vmap(lambda s: unscale(s[:saq], nqb, geo.nkc, geo.bna))(sa),
     )
     out["gate_up_interleaved"] = (
-        jax.vmap(lambda t: untile(t[geo.nq:], ngb, geo.nkc, geo.bna))(a),
+        gu_w,
         jax.vmap(lambda s: unscale(s[saq:], ngb, geo.nkc, geo.bna))(sa),
     )
     nob = geo.dim // geo.bnb
     ndk = geo.ffn // geo.ck
     sbo = geo.no if geo.wbits == 4 else nob
     out["o_proj"] = (
-        jax.vmap(lambda t: untile(t[: geo.no], nob, geo.nkc, geo.bnb))(b),
+        tapes["o_wp"],
         jax.vmap(lambda s: unscale(s[:sbo], nob, geo.nkc, geo.bnb))(sb),
     )
     out["down_proj"] = (
-        jax.vmap(lambda t: untile(t[geo.no:], nob, ndk, geo.bnb))(b),
+        tapes["dn_wp"],
         jax.vmap(lambda s: unscale(s[sbo:], nob, ndk, geo.bnb))(sb),
     )
     return out
@@ -496,9 +487,12 @@ def _mega_kernel(
     sign_ref,      # (1, 1, 1, dh) f32   rotate_half sign row (-1,+1 halves)
     mask_ref,      # (bp, T) int32
     norm_ref,      # (1, nxc, ck) f32    [l*2 + phase]
-    tape_a_ref,    # (1, ck/4, bna) int32
+    qkvw_ref,      # (1, ckw, bna) int32  [l, kk, j] of the stacked w_p
+    gug_ref,       # (1, ckw, ck) int32   gate half (aliases the gu array)
+    guu_ref,       # (1, ckw, ck) int32   up half   (same array, +ffn cols)
     scale_a_ref,   # (1, 1, bna) f32
-    tape_b_ref,    # (1, ck/4, bnb) int32
+    ow_ref,        # (1, ckw, bnb) int32
+    dnw_ref,       # (1, ckw, bnb) int32
     scale_b_ref,   # (1, 1, bnb) f32
     kq_ref,        # (1, rg, 1, dh/4, T) int32   [l, row-group, head]
     ks_ref,        # (1, 1, rg, T) bf16   scales live (L,H,B,T)
@@ -611,17 +605,35 @@ def _mega_kernel(
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        @pl.when(in_a)
+        @pl.when(in_qkv)
         def _():
             if g.wbits == 4:
-                lo, hi = nibble_halves(tape_a_ref)
+                lo, hi = nibble_halves(qkvw_ref)
                 # per-(chunk, channel) weight scale folds in per step; the
                 # finish then skips the per-block rescale
                 acc_ref[...] += (dot4(hq_ref[kk_a], lo, hi)
                                  * scale_a_ref[0]) * hrs_ref[kk_a]
             else:
-                w8 = pltpu.bitcast(tape_a_ref[...], jnp.int8)[0]  # (ck, bna)
+                w8 = pltpu.bitcast(qkvw_ref[...], jnp.int8)[0]  # (ck, bna)
                 acc_ref[...] += dot8(hq_ref[kk_a], w8) * hrs_ref[kk_a]
+
+        @pl.when(in_gu)
+        def _():
+            # gate and up arrive as two ck-wide aliased views; the
+            # accumulator keeps the [g_j | u_j] block layout the SiLU
+            # finish expects (scale_a rows are column-interleaved to match)
+            if g.wbits == 4:
+                glo, ghi = nibble_halves(gug_ref)
+                ulo, uhi = nibble_halves(guu_ref)
+                acc_ref[:, :ck] += (dot4(hq_ref[kk_a], glo, ghi)
+                                    * scale_a_ref[0][:, :ck]) * hrs_ref[kk_a]
+                acc_ref[:, ck:] += (dot4(hq_ref[kk_a], ulo, uhi)
+                                    * scale_a_ref[0][:, ck:]) * hrs_ref[kk_a]
+            else:
+                g8 = pltpu.bitcast(gug_ref[...], jnp.int8)[0]  # (ck, ck)
+                u8 = pltpu.bitcast(guu_ref[...], jnp.int8)[0]
+                acc_ref[:, :ck] += dot8(hq_ref[kk_a], g8) * hrs_ref[kk_a]
+                acc_ref[:, ck:] += dot8(hq_ref[kk_a], u8) * hrs_ref[kk_a]
 
     fin_a = jnp.logical_and(in_a, kk_a == nkc - 1)
 
@@ -803,7 +815,7 @@ def _mega_kernel(
         hpc = ck // dh
         part = jnp.zeros((g.bp, bnb), f32)
         if g.wbits == 4:
-            lo, hi = nibble_halves(tape_b_ref)  # (ck/2, bnb) each
+            lo, hi = nibble_halves(ow_ref)  # (ck/2, bnb) each
             for hh in range(hpc):
                 head = kk_b * hpc + hh
                 wsl = (lo[hh * dh:(hh + 1) * dh] if hh < hpc // 2
@@ -813,7 +825,7 @@ def _mega_kernel(
                 part += (dot8(a8h, wsl) - 8.0 * rs) * ars_ref[head]
             part = part * scale_b_ref[0]
         else:
-            w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]  # (ck, bnb)
+            w8 = pltpu.bitcast(ow_ref[...], jnp.int8)[0]  # (ck, bnb)
             for hh in range(hpc):
                 head = kk_b * hpc + hh
                 part += dot8(a8_ref[head],
@@ -823,11 +835,11 @@ def _mega_kernel(
     @pl.when(in_dn)
     def _():
         if g.wbits == 4:
-            lo, hi = nibble_halves(tape_b_ref)
+            lo, hi = nibble_halves(dnw_ref)
             part = (dot4(m8_ref[kk_b], lo, hi)
                     * scale_b_ref[0]) * mrs_ref[kk_b]
         else:
-            w8 = pltpu.bitcast(tape_b_ref[...], jnp.int8)[0]
+            w8 = pltpu.bitcast(dnw_ref[...], jnp.int8)[0]
             part = dot8(m8_ref[kk_b], w8) * mrs_ref[kk_b]
         acc_ref[:, :bnb] += part
 
@@ -876,7 +888,6 @@ def _make_index_maps(geo: MegaGeometry):
     n2 = o0 + g.no
     gu0 = n2 + 1
     dn0 = gu0 + g.ng
-    A, Bt = g.a_tiles_per_layer, g.b_tiles_per_layer
     SA, SB = g.sa_per_layer, g.sb_per_layer
     nqb = g.wqkv // g.bna
     nob = g.dim // g.bnb
@@ -891,11 +902,32 @@ def _make_index_maps(geo: MegaGeometry):
     def resident2(l, s):
         return (0, 0)
 
-    def tape_a(l, s):
-        in_gu = s >= gu0
-        ta = jnp.where(in_gu, jnp.clip(s - gu0, 0, g.ng - 1),
-                       jnp.clip(s - qkv0, 0, g.nq - 1))
-        return (l * A + jnp.where(in_gu, g.nq, 0) + ta, 0, 0)
+    # weight operands walk the per-layer stacked (L, Kp, N) arrays
+    # directly (no tape copies): block index (l, kk, j), parked by clip on
+    # the phase's first tile before it runs (a free prefetch — the first
+    # in-phase step finds its block already resident) and on the last tile
+    # after (same index -> no refetch).
+    def qkv_w(l, s):
+        ta = jnp.clip(s - qkv0, 0, g.nq - 1)
+        return (l, ta % g.nkc, ta // g.nkc)
+
+    def gu_gate(l, s):
+        ta = jnp.clip(s - gu0, 0, g.ng - 1)
+        return (l, ta % g.nkc, ta // g.nkc)
+
+    def gu_up(l, s):
+        # up block j sits ffn columns after gate block j in the PLAIN
+        # [gate | up] stored layout (the two operands alias one array)
+        ta = jnp.clip(s - gu0, 0, g.ng - 1)
+        return (l, ta % g.nkc, g.ffn // g.ck + ta // g.nkc)
+
+    def o_w(l, s):
+        tb = jnp.clip(s - o0, 0, g.no - 1)
+        return (l, tb % g.nkc, tb // g.nkc)
+
+    def dn_w(l, s):
+        tb = jnp.clip(s - dn0, 0, g.nd - 1)
+        return (l, tb % ndk, tb // ndk)
 
     def scale_a(l, s):
         in_gu = s >= gu0
@@ -904,12 +936,6 @@ def _make_index_maps(geo: MegaGeometry):
         if g.wbits == 4:  # one scale row per TILE (per-chunk scales)
             return (l * SA + jnp.where(in_gu, g.nq, 0) + ta, 0, 0)
         return (l * SA + jnp.where(in_gu, nqb, 0) + ta // g.nkc, 0, 0)
-
-    def tape_b(l, s):
-        in_dn = s >= dn0
-        tb = jnp.where(in_dn, jnp.clip(s - dn0, 0, g.nd - 1),
-                       jnp.clip(s - o0, 0, g.no - 1))
-        return (l * Bt + jnp.where(in_dn, g.no, 0) + tb, 0, 0)
 
     def scale_b(l, s):
         in_dn = s >= dn0
@@ -955,8 +981,9 @@ def _make_index_maps(geo: MegaGeometry):
         j = jnp.clip((s - qkv0) // g.nkc - kb, 0, nkb - 1)
         return (l * nkb + jnp.where(in_qkv, j, nkb - 1), 0, 0)
 
-    return dict(resident3=resident3, resident2=resident2, tape_a=tape_a,
-                scale_a=scale_a, tape_b=tape_b, scale_b=scale_b, norm=norm,
+    return dict(resident3=resident3, resident2=resident2, qkv_w=qkv_w,
+                gu_gate=gu_gate, gu_up=gu_up, o_w=o_w, dn_w=dn_w,
+                scale_a=scale_a, scale_b=scale_b, norm=norm,
                 kq=kq, ks=ksm, vq=vq, vs=ksm, x_out=x_out, kv_new=kv_new,
                 kv_new_v=kv_new_v)
 
@@ -1052,12 +1079,20 @@ def mega_decode_layers(
                               lambda l, s_: (0, 0, 0, 0)), sign),
         ("mask", pl.BlockSpec((bp, g.t_cap), maps["resident2"]), maskb),
         ("norm", pl.BlockSpec((1, nxc, ck), maps["norm"]), tapes["norms"]),
-        ("tapes", pl.BlockSpec((1, g.ckw, bna), maps["tape_a"]),
-         tapes["tape_a"]),
+        # per-layer stacked weights, walked in place (no tape copies);
+        # gate and up are two aliased views of ONE stored array
+        ("tapes", pl.BlockSpec((1, g.ckw, bna), maps["qkv_w"]),
+         tapes["qkv_wp"]),
+        ("tapes", pl.BlockSpec((1, g.ckw, ck), maps["gu_gate"]),
+         tapes["gu_wp"]),
+        ("tapes", pl.BlockSpec((1, g.ckw, ck), maps["gu_up"]),
+         tapes["gu_wp"]),
         ("tapes", pl.BlockSpec((1, 1, bna), maps["scale_a"]),
          tapes["scale_a"]),
-        ("tapes", pl.BlockSpec((1, g.ckw, bnb), maps["tape_b"]),
-         tapes["tape_b"]),
+        ("tapes", pl.BlockSpec((1, g.ckw, bnb), maps["o_w"]),
+         tapes["o_wp"]),
+        ("tapes", pl.BlockSpec((1, g.ckw, bnb), maps["dn_w"]),
+         tapes["dn_wp"]),
         ("tapes", pl.BlockSpec((1, 1, bnb), maps["scale_b"]),
          tapes["scale_b"]),
         ("kv", pl.BlockSpec((1, g.rg, 1, dh4, kv_t), maps["kq"]), kq),
@@ -1439,7 +1474,9 @@ def make_mega_lm(lm_params: dict, geo: MegaGeometry) -> tuple[dict, dict]:
     fused blocks) -> (tapes, head_params) for ``make_mega_decode_step``.
     One-time relayout at engine build."""
     p = lm_params["params"] if "params" in lm_params else lm_params
-    tapes = jax.jit(functools.partial(build_tapes, geo=geo))(p["blocks"])
+    # eager: jit would copy the pass-through weight arrays into fresh
+    # output buffers, recreating the tape duplicate this layout removed
+    tapes = build_tapes(p["blocks"], geo)
     head = dict(
         embed=p["embed_tokens"]["embedding"],
         final_norm=p["final_norm"]["scale"],

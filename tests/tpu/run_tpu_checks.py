@@ -47,7 +47,9 @@ def main():
     ok &= check("flash segment-ids", got, want, 8e-3)
 
     ok &= extra_checks()
+    ok &= sampler_checks()
     ok &= mega_checks()
+    ok &= mega_int4_checks()
     print("ALL OK" if ok else "FAILURES")
     raise SystemExit(0 if ok else 1)
 
@@ -134,6 +136,116 @@ def extra_checks():
     return ok
 
 
+def sampler_checks():
+    """Pallas one-hot-matmul deformable sampler (ops/deformable_sampler.py)
+    vs the gather core computed on CPU — the panoptic serving sampler."""
+    import numpy as np
+    from mmor_tpu.ops.deformable_attention import ms_deform_attn
+    from mmor_tpu.ops.deformable_sampler import ms_deform_attn_pallas
+
+    shapes = ((24, 40), (12, 20), (6, 10))
+    n, m, d, p = 1, 8, 32, 4
+    s = sum(h * w for h, w in shapes)
+    lq = s  # grid-organized queries (encoder self-attention layout)
+    rng = np.random.default_rng(11)
+    value = jnp.asarray(rng.standard_normal((n, s, m, d)), jnp.float32)
+    # reference-scale offsets around each query's own grid point
+    ys, xs = [], []
+    for hv, wv in shapes:
+        gy, gx = np.meshgrid((np.arange(hv) + 0.5) / hv,
+                             (np.arange(wv) + 0.5) / wv, indexing="ij")
+        ys.append(gy.ravel()); xs.append(gx.ravel())
+    refpts = np.stack([np.concatenate(xs), np.concatenate(ys)], -1)
+    off = rng.uniform(-0.03, 0.03, (n, lq, m, len(shapes), p, 2))
+    loc = jnp.asarray(refpts[None, :, None, None, None, :] + off,
+                      jnp.float32)
+    attn = rng.uniform(0, 1, (n, lq, m, len(shapes), p))
+    attn = jnp.asarray(attn / attn.reshape(n, lq, m, -1).sum(-1)
+                       .reshape(n, lq, m, 1, 1), jnp.float32)
+    got = np.asarray(ms_deform_attn_pallas(value, shapes, loc, attn))
+    want = np.asarray(jax.jit(
+        lambda *a: ms_deform_attn(a[0], shapes, a[1], a[2]),
+        backend="cpu")(value, loc, attn))
+    err = float(np.max(np.abs(got - want)))
+    status = "OK " if err < 5e-3 else "FAIL"
+    print(f"[{status}] ms_deform_attn_pallas tpu-vs-cpu: max_abs_err={err:.2e}")
+    return err < 5e-3
+
+
+def mega_int4_checks():
+    """int4-weight + int4-KV megakernel on-chip vs the CPU reference at the
+    full 4096-wide geometry (2 layers)."""
+    import numpy as np
+
+    from mmor_tpu.config import LlamaConfig
+    from mmor_tpu.ops import mega_decode as md
+    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
+                                               quantize_weights_int4)
+
+    cfg = LlamaConfig(dim=4096, n_layers=2, n_heads=32, n_kv_heads=32,
+                      ffn_dim=11264, weight_quant=True, kv_quant=True,
+                      fused_qkv=True, weight_bits=4, kv_bits=4,
+                      mega_decode=True)
+    geo = md.MegaGeometry.from_config(cfg, batch=8, t_cap=256)
+    assert geo.wbits == 4 and geo.kvbits == 4
+    key = jax.random.PRNGKey(21)
+    ks = jax.random.split(key, 8)
+    l, d, f, qw = 2, 4096, 11264, 4096
+
+    def q4(key, k_in, n):
+        w = jax.random.normal(key, (l, k_in, n)) * 0.02
+        wq, sc = jax.jit(jax.vmap(
+            lambda x: quantize_weights_int4(x, group=geo.ck)))(w)
+        return {"w_p": jax.jit(jax.vmap(
+                    lambda x: pack_int4_rows(x, block=geo.ck)))(wq),
+                "scale": sc}
+
+    blocks = {
+        "qkv_proj": q4(ks[0], d, 3 * qw), "o_proj": q4(ks[1], qw, d),
+        "gate_up_proj": q4(ks[2], d, 2 * f), "down_proj": q4(ks[3], f, d),
+        "attn_norm": {"scale": jnp.ones((l, d))},
+        "mlp_norm": {"scale": jnp.ones((l, d))},
+    }
+    tapes = md.build_tapes(blocks, geo)
+    t, b = geo.t_cap, geo.batch
+    kf = jax.random.normal(ks[4], (l, b, 32, t, 128)) * 0.5
+    vf = jax.random.normal(ks[5], (l, b, 32, t, 128)) * 0.5
+    kq, k_s = jax.jit(md.quantize_k_int4)(kf)
+    vq, v_s = jax.jit(md.quantize_v_int4)(vf)
+    cache = dict(
+        k=kq, k_s=k_s.transpose(0, 2, 1, 3),
+        v=vq, v_s=v_s.transpose(0, 2, 1, 3),
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (b, t)),
+        write_pos=jnp.asarray(t - 8, jnp.int32),
+        tok_pos=jnp.full((b,), t - 8, jnp.int32),
+    )
+    x = jax.random.normal(ks[6], (b, d), jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], 128, cfg.rope_theta)
+
+    got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo)
+    ref = jax.jit(
+        lambda *a: md.mega_decode_layers_reference(*a, geo),
+        backend="cpu")(x, tapes, cache, cos, sin)
+    ok = True
+    for name, a, b2 in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                           ref, got):
+        a = np.asarray(a, np.float32)
+        b2 = np.asarray(b2, np.float32)
+        if name in ("knew", "vnew"):
+            frac = float((np.abs(a - b2) <= 1).mean())
+            status = "OK " if frac > 0.97 else "FAIL"
+            print(f"[{status}] mega-int4 {name}: off-by<=1 frac={frac:.4f}")
+            ok &= frac > 0.97
+        else:
+            err = float((np.abs(a - b2) / (np.abs(a) + 1e-2)).max())
+            status = "OK " if err < 0.05 else "FAIL"
+            print(f"[{status}] mega-int4 {name}: max rel err={err:.4f}")
+            ok &= err < 0.05
+    print("MEGA-INT4 OK" if ok else "MEGA-INT4 FAILURES")
+    return ok
+
+
 def mega_checks():
     """Megakernel on-chip numerics: the pallas whole-decode-step kernel vs
     its XLA reference (computed on CPU) at a mid-size geometry."""
@@ -162,7 +274,7 @@ def mega_checks():
         "attn_norm": {"scale": jnp.ones((l, d))},
         "mlp_norm": {"scale": jnp.ones((l, d))},
     }
-    tapes = jax.jit(lambda b: md.build_tapes(b, geo))(blocks)
+    tapes = md.build_tapes(blocks, geo)
     big = 2 ** 30
     t = geo.t_cap
     b = geo.batch

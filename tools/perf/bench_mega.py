@@ -81,7 +81,8 @@ def main():
     print(f"weights {wbytes/1e9:.2f} GB  kv {kvbytes/1e9:.2f} GB", flush=True)
 
     blocks = rand_blocks(jax.random.PRNGKey(0))
-    tapes = jax.jit(lambda b: md.build_tapes(b, geo))(blocks)
+    tapes = md.build_tapes(blocks, geo)  # eager: jit would copy the
+    # pass-through weight arrays (they alias the per-layer params now)
     del blocks
     cache = rand_cache(jax.random.PRNGKey(1), prefix=T - 8)
     x = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.dim),
