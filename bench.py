@@ -229,17 +229,19 @@ def main():
         )]
     else:
         # Fastest-first ladder (fall through on OOM/compile failure):
-        #   1. megakernel decode, int4 weights + int4 KV, batch 32
-        #   2. same at batch 24
+        #   1. megakernel decode, int4 weights + int4 KV, batch 40
+        #   2. same at batch 32 (rg=32: single attention row-group/head)
         #   3. round-2 proven per-op stepwise int8 path, batch 20
         # The megakernel is one pallas call per token for all 32 layers
-        # (ops/mega_decode.py) and is DMA-bound, so fewer bytes (int4 tapes,
-        # T-halved int4 KV) set the floor; quality is gated by
+        # (ops/mega_decode.py) and is DMA-bound, so fewer bytes (int4
+        # weights walked in place — ONE copy shared with prefill — and
+        # T-halved int4 KV) set the floor; estimated footprint at b40 is
+        # ~10 GB steady + ~4 GB prefill transients. Quality is gated by
         # tests/test_generation_parity.py (int4 W >=0.97, int4 KV >=0.95
         # greedy-token agreement vs bf16 at 128 steps on a trained model).
         attempts = [
+            dict(mega=True, wbits=4, kvbits=4, batch_size=40),
             dict(mega=True, wbits=4, kvbits=4, batch_size=32),
-            dict(mega=True, wbits=4, kvbits=4, batch_size=24),
             dict(mega=False, wbits=8, kvbits=8, batch_size=20),
         ]
 
