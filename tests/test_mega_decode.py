@@ -415,6 +415,74 @@ def test_mega_int4kv_kernel_matches_reference():
             assert l2 < 0.02, (name, l2)
 
 
+def test_mega_b40_bp64_geometry_matches_reference():
+    """batch=40 — the bench ladder's first rung geometry: bp pads 40->64
+    (the >32-sublane padding path) and attention walks rg=8 row-groups,
+    nb8=5 per head. int4 W + int4 KV, interpret mode vs the reference."""
+    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
+                                               quantize_weights_int4)
+
+    cfg = LlamaConfig(
+        vocab_size=128, dim=512, n_layers=1, n_heads=4, n_kv_heads=4,
+        ffn_dim=1024, max_seq_len=64, dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16, weight_quant=True, kv_quant=True,
+        fused_qkv=True, weight_bits=4, kv_bits=4, weight_group=256,
+    )
+    geo = md.MegaGeometry.from_config(cfg, batch=40, t_cap=64)
+    assert geo.bp == 64 and geo.rg == 8 and geo.nb8 == 5
+    key = jax.random.PRNGKey(13)
+    ks = jax.random.split(key, 8)
+    l, d, f = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    qw = cfg.n_heads * cfg.head_dim
+
+    def q4(key, k_in, n):
+        w = jax.random.normal(key, (l, k_in, n)) * 0.02
+        wq, sc = jax.vmap(
+            lambda x: quantize_weights_int4(x, group=geo.ck))(w)
+        return {"w_p": jax.vmap(
+                    lambda x: pack_int4_rows(x, block=geo.ck))(wq),
+                "scale": sc}
+
+    blocks = {
+        "qkv_proj": q4(ks[0], d, 3 * qw),
+        "o_proj": q4(ks[1], qw, d),
+        "gate_up_proj": q4(ks[2], d, 2 * f),
+        "down_proj": q4(ks[3], f, d),
+        "attn_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[4], (l, d))},
+        "mlp_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[5], (l, d))},
+    }
+    tapes = md.build_tapes(blocks, geo)
+    t, b = geo.t_cap, geo.batch
+    dh = cfg.head_dim
+    kf = jax.random.normal(ks[6], (l, b, cfg.n_heads, t, dh)) * 0.5
+    vf = jax.random.normal(ks[7], (l, b, cfg.n_heads, t, dh)) * 0.5
+    kq_, k_s = md.quantize_k_int4(kf)
+    vq_, v_s = md.quantize_v_int4(vf)
+    cache = dict(
+        k=kq_, k_s=k_s.transpose(0, 2, 1, 3),
+        v=vq_, v_s=v_s.transpose(0, 2, 1, 3),
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (b, t)),
+        write_pos=jnp.asarray(t - 8, jnp.int32),
+        tok_pos=jnp.full((b,), t - 8, jnp.int32),
+    )
+    x = jax.random.normal(ks[5], (b, d), jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], dh, cfg.rope_theta)
+
+    got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo,
+                                interpret=True)
+    ref = md.mega_decode_layers_reference(x, tapes, cache, cos, sin, geo)
+    for name, a, b2 in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                           ref, got):
+        a = np.asarray(a, np.float32)
+        b2 = np.asarray(b2, np.float32)
+        if name in ("knew", "vnew"):
+            assert (np.abs(a - b2) <= 1).mean() == 1.0, name
+        else:
+            l2 = np.linalg.norm(a - b2) / (np.linalg.norm(a) + 1e-9)
+            assert l2 < 0.02, (name, l2)
+
+
 def test_int4_kv_pack_unpack_and_update():
     """int4 KV packers roundtrip and apply_kv_update merges a decode
     column into the T-halved nibble cache exactly."""
