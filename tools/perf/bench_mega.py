@@ -27,10 +27,13 @@ T = int(os.environ.get("BM_T", "512"))
 FFN = int(os.environ.get("BM_FFN", "11264"))
 REPEATS = int(os.environ.get("BM_REPEATS", "8"))
 CHECK = os.environ.get("BM_CHECK", "0") == "1"
+WBITS = int(os.environ.get("BM_WBITS", "8"))
+KVBITS = int(os.environ.get("BM_KVBITS", "8"))
 
 cfg = LlamaConfig(dim=4096, n_layers=L, n_heads=32, n_kv_heads=32,
                   ffn_dim=FFN, weight_quant=True, kv_quant=True,
-                  fused_qkv=True)
+                  fused_qkv=True, weight_bits=WBITS, kv_bits=KVBITS,
+                  mega_decode=True)
 geo = md.MegaGeometry.from_config(cfg, batch=B, t_cap=T)
 
 
@@ -39,6 +42,15 @@ def rand_blocks(key):
     d, f, qw = cfg.dim, FFN, cfg.n_heads * cfg.head_dim
 
     def q(key, k_in, n):
+        if WBITS == 4:
+            from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
+                                                       quantize_weights_int4)
+            w = jax.random.normal(key, (L, k_in, n)) * 0.02
+            wq, sc = jax.jit(jax.vmap(
+                lambda x: quantize_weights_int4(x, group=geo.ck)))(w)
+            return {"w_p": jax.jit(jax.vmap(
+                        lambda x: pack_int4_rows(x, block=geo.ck)))(wq),
+                    "scale": sc}
         wq = jax.random.randint(key, (L, k_in, n), -127, 128, jnp.int8)
         sc = jnp.full((L, n), 0.01, jnp.float32)
         return {"w_p": jax.jit(jax.vmap(pack_int8_rows))(wq), "scale": sc}
@@ -57,14 +69,28 @@ def rand_cache(key, prefix):
     ks = jax.random.split(key, 4)
     h, dh = cfg.n_heads, cfg.head_dim
     big = 2 ** 30
+    if KVBITS == 4:
+        kf = jax.random.normal(ks[2], (L, B, h, T, dh)) * 0.5
+        vf = jax.random.normal(ks[3], (L, B, h, T, dh)) * 0.5
+        kq, k_s = jax.jit(md.quantize_k_int4)(kf)
+        vq, v_s = jax.jit(md.quantize_v_int4)(vf)
+        del kf, vf
+        k, v = kq, vq
+        k_s = k_s.transpose(0, 2, 1, 3)
+        v_s = v_s.transpose(0, 2, 1, 3)
+    else:
+        k = jax.random.randint(ks[0], (L, B, h, dh // 4, T), -big, big,
+                               jnp.int32)
+        v = jax.random.randint(ks[1], (L, B, h, T // 4, dh), -big, big,
+                               jnp.int32)
+        k_s = jnp.full((L, h, B, T), 0.02, jnp.bfloat16)
+        v_s = jnp.full((L, h, B, T), 0.02, jnp.bfloat16)
     cache = dict(
-        k=jax.random.randint(ks[0], (L, B, h, dh // 4, T), -big, big,
-                             jnp.int32),
+        k=k,
         # mega cache scales live (L, H, B, T) — see mega_decode_layers
-        k_s=jnp.full((L, h, B, T), 0.02, jnp.bfloat16),
-        v=jax.random.randint(ks[1], (L, B, h, T // 4, dh), -big, big,
-                             jnp.int32),
-        v_s=jnp.full((L, h, B, T), 0.02, jnp.bfloat16),
+        k_s=k_s,
+        v=v,
+        v_s=v_s,
         kv_mask=jnp.broadcast_to(
             (jnp.arange(T)[None] < prefix).astype(jnp.int32), (B, T)),
         write_pos=jnp.asarray(prefix, jnp.int32),
@@ -74,10 +100,10 @@ def rand_cache(key, prefix):
 
 
 def main():
-    print(f"L={L} B={B} T={T} ffn={FFN} steps/layer={geo.steps_per_layer} "
+    print(f"L={L} B={B} T={T} ffn={FFN} w{WBITS} kv{KVBITS} steps/layer={geo.steps_per_layer} "
           f"grid={L}x{geo.steps_per_layer}", flush=True)
-    wbytes = (geo.wqkv + 2 * FFN + 2 * cfg.dim) * cfg.dim * L
-    kvbytes = 2 * L * B * cfg.n_heads * cfg.head_dim * T
+    wbytes = (geo.wqkv + 2 * FFN + 2 * cfg.dim) * cfg.dim * L * WBITS // 8
+    kvbytes = 2 * L * B * cfg.n_heads * cfg.head_dim * T * KVBITS // 8
     print(f"weights {wbytes/1e9:.2f} GB  kv {kvbytes/1e9:.2f} GB", flush=True)
 
     blocks = rand_blocks(jax.random.PRNGKey(0))
