@@ -259,7 +259,8 @@ def main():
             if i == len(attempts) - 1:
                 raise
             import gc
-            gc.collect()  # drop device buffers before the next attempt
+            gc.collect()          # drop device buffers and
+            jax.clear_caches()    # compiled programs before the next rung
 
     extra = {}
     if env("MMOR_TPU_BENCH_PANOPTIC", "1") == "1" and preset == "7b":
