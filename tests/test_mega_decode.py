@@ -415,6 +415,43 @@ def test_mega_int4kv_kernel_matches_reference():
             assert l2 < 0.02, (name, l2)
 
 
+def test_mega_nkc4_nkb2_geometry_matches_reference():
+    """nkc=4, qb=2, nkb=2 — the 7B tile-count walk (4 K-chunks per dim,
+    TWO k/v output blocks in the qkv phase). No other interpret test hits
+    nkb>1; the kv_new/kv_new_v output maps and the multi-block q|k|v
+    finish only diverge from nkb=1 here."""
+    cfg = LlamaConfig(
+        vocab_size=128, dim=1024, n_layers=2, n_heads=8, n_kv_heads=8,
+        ffn_dim=1024, max_seq_len=64, dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16, weight_quant=True, kv_quant=True,
+        fused_qkv=True,
+    )
+    geo = md.MegaGeometry.from_config(cfg, batch=8, t_cap=64, ck=256,
+                                      bna=512, bnb=256, g=2)
+    assert geo.nkc == 4 and geo.q_width // geo.bna == 2
+    blocks = _random_blocks(jax.random.PRNGKey(21), cfg)
+    tapes = md.build_tapes(blocks, geo)
+    cache = _random_cache(jax.random.PRNGKey(22), geo, prefix=40)
+    x = jax.random.normal(jax.random.PRNGKey(23), (geo.batch, geo.dim),
+                          jnp.bfloat16) * 0.5
+    cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
+
+    got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo,
+                                interpret=True)
+    ref = md.mega_decode_layers_reference(x, tapes, cache, cos, sin, geo)
+    for name, a, b2 in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                           ref, got):
+        a = np.asarray(a, np.float32)
+        b2 = np.asarray(b2, np.float32)
+        if name in ("knew", "vnew"):
+            # layer-2 quantized KV inherits layer-1 x's legitimate
+            # quantization-order noise: a few bins land 2 apart
+            assert (np.abs(a - b2) <= 1).mean() > 0.99, name
+        else:
+            l2 = np.linalg.norm(a - b2) / (np.linalg.norm(a) + 1e-9)
+            assert l2 < 0.02, (name, l2)
+
+
 def test_mega_b40_bp64_geometry_matches_reference():
     """batch=40 — the bench ladder's first rung geometry: bp pads 40->64
     (the >32-sublane padding path) and attention walks rg=8 row-groups,

@@ -227,33 +227,51 @@ def mega_int4_checks():
     ref = jax.jit(
         lambda *a: md.mega_decode_layers_reference(*a, geo),
         backend="cpu")(x, tapes, cache, cos, sin)
+    return _mega_compare("mega-int4", ref, got)
+
+
+def _mega_compare(tag, ref, got):
+    """Robust kernel-vs-reference comparison. x / scales use relative L2
+    (elementwise relative error is meaningless here: both sides quantize
+    activations per chunk, so a single off-by-one bin on a large-scale
+    chunk lands ~scale absolute error on elements that may themselves be
+    near zero — earlier elementwise checks 'failed' at rel_l2 = 8e-4);
+    quantized int outputs use off-by-one-bin agreement."""
+    import numpy as np
+
     ok = True
-    for name, a, b2 in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
-                           ref, got):
+    for name, a, b in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                          ref, got):
         a = np.asarray(a, np.float32)
-        b2 = np.asarray(b2, np.float32)
+        b = np.asarray(b, np.float32)
+        finite = bool(np.isfinite(a).all() and np.isfinite(b).all())
         if name in ("knew", "vnew"):
-            frac = float((np.abs(a - b2) <= 1).mean())
-            status = "OK " if frac > 0.97 else "FAIL"
-            print(f"[{status}] mega-int4 {name}: off-by<=1 frac={frac:.4f}")
-            ok &= frac > 0.97
+            frac = float((np.abs(a - b) <= 1).mean())
+            good = finite and frac > 0.97
+            print(f"[{'OK ' if good else 'FAIL'}] {tag} {name}: "
+                  f"off-by<=1 frac={frac:.4f}")
         else:
-            err = float((np.abs(a - b2) / (np.abs(a) + 1e-2)).max())
-            status = "OK " if err < 0.05 else "FAIL"
-            print(f"[{status}] mega-int4 {name}: max rel err={err:.4f}")
-            ok &= err < 0.05
-    print("MEGA-INT4 OK" if ok else "MEGA-INT4 FAILURES")
+            l2 = float(np.linalg.norm(a - b)
+                       / (np.linalg.norm(a) + 1e-9))
+            good = finite and l2 < 0.02
+            print(f"[{'OK ' if good else 'FAIL'}] {tag} {name}: "
+                  f"rel_l2={l2:.5f} finite={finite}")
+        ok &= good
+    print(f"{tag.upper()} OK" if ok else f"{tag.upper()} FAILURES")
     return ok
 
 
 def mega_checks():
     """Megakernel on-chip numerics: the pallas whole-decode-step kernel vs
-    its XLA reference (computed on CPU) at a mid-size geometry."""
-    import numpy as np
-
+    its XLA reference (computed on CPU) at the 7B tile geometry
+    (nkc=4, nkb=2 — the multi-block q|k|v walk). Weights are quantized
+    from sane gaussians so activation magnitudes stay O(1-10); the old
+    uniform-±127 construction drove per-chunk scales so large that one
+    quantization bin dwarfed small elements (and overflowed bf16 x_out
+    to inf at 2 layers, turning the comparison into inf-inf = nan)."""
     from mmor_tpu.config import LlamaConfig
     from mmor_tpu.ops import mega_decode as md
-    from mmor_tpu.ops.quantized_matmul import pack_int8_rows
+    from mmor_tpu.ops.quantized_matmul import pack_int8_rows, quantize_weights
 
     cfg = LlamaConfig(dim=4096, n_layers=2, n_heads=32, n_kv_heads=32,
                       ffn_dim=11264, weight_quant=True, kv_quant=True,
@@ -264,8 +282,8 @@ def mega_checks():
     l, d, f, qw = 2, 4096, 11264, 4096
 
     def q(key, k_in, n):
-        wq = jax.random.randint(key, (l, k_in, n), -127, 128, jnp.int8)
-        sc = jnp.full((l, n), 0.002, jnp.float32)
+        w = jax.random.normal(key, (l, k_in, n)) * 0.02
+        wq, sc = jax.jit(jax.vmap(quantize_weights))(w)
         return {"w_p": jax.jit(jax.vmap(pack_int8_rows))(wq), "scale": sc}
 
     blocks = {
@@ -275,16 +293,17 @@ def mega_checks():
         "mlp_norm": {"scale": jnp.ones((l, d))},
     }
     tapes = md.build_tapes(blocks, geo)
-    big = 2 ** 30
     t = geo.t_cap
     b = geo.batch
+    from mmor_tpu.models.llama import quantize_kv
+
+    kf = jax.random.normal(ks[4], (l, b, 32, t, 128)) * 0.5
+    vf = jax.random.normal(ks[5], (l, b, 32, t, 128)) * 0.5
+    k_p, k_s = jax.jit(quantize_kv)(kf)                 # D-packed
+    v_p, v_s = jax.jit(md.quantize_kv_tmajor)(vf)       # T-packed
     cache = dict(
-        k=jax.random.randint(ks[4], (l, b, 32, 32, t), -big, big, jnp.int32),
-        # mega cache scales live (L, H, B, T) — see mega_decode_layers
-        k_s=jnp.full((l, 32, b, t), 0.02, jnp.bfloat16),
-        v=jax.random.randint(ks[5], (l, b, 32, t // 4, 128), -big, big,
-                             jnp.int32),
-        v_s=jnp.full((l, 32, b, t), 0.02, jnp.bfloat16),
+        k=k_p, k_s=k_s.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
+        v=v_p, v_s=v_s.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
         kv_mask=jnp.broadcast_to(
             (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (b, t)),
         write_pos=jnp.asarray(t - 8, jnp.int32),
@@ -297,23 +316,7 @@ def mega_checks():
     ref = jax.jit(
         lambda *a: md.mega_decode_layers_reference(*a, geo),
         backend="cpu")(x, tapes, cache, cos, sin)
-    ok = True
-    for name, a, b in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
-                          ref, got):
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        if name in ("knew", "vnew"):
-            frac = float((np.abs(a - b) <= 1).mean())
-            status = "OK " if frac > 0.97 else "FAIL"
-            print(f"[{status}] mega {name}: off-by<=1 frac={frac:.4f}")
-            ok &= frac > 0.97
-        else:
-            err = float((np.abs(a - b) / (np.abs(a) + 1e-2)).max())
-            status = "OK " if err < 0.05 else "FAIL"
-            print(f"[{status}] mega {name}: max rel err={err:.4f}")
-            ok &= err < 0.05
-    print("MEGA OK" if ok else "MEGA FAILURES")
-    return ok
+    return _mega_compare("mega", ref, got)
 
 
 if __name__ == "__main__":
