@@ -201,7 +201,30 @@ def run_once(preset, quant, fused, mega, wbits, kvbits, batch_size,
     return fps, tag
 
 
+def _preflight_tunnel():
+    """Fail fast if the axon relay is down: jax backend init would
+    otherwise hang forever with zero output (the relay is a host-spawned
+    process this container cannot restart — CLAUDE.md gotchas)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    if os.environ.get("MMOR_TPU_BENCH_PREFLIGHT", "1") != "1":
+        return
+    import socket
+    for port in (8082, 8083, 8087, 8092, 8093, 8097):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=2).close()
+            return
+        except OSError:
+            continue
+    print("[bench] axon relay ports all closed — TPU tunnel is down; "
+          "aborting instead of hanging at backend init "
+          "(MMOR_TPU_BENCH_PREFLIGHT=0 to skip this check)",
+          file=sys.stderr)
+    raise SystemExit(2)
+
+
 def main():
+    _preflight_tunnel()
     env = os.environ.get
     preset = env("MMOR_TPU_BENCH_PRESET", "7b")
     quant = env("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
