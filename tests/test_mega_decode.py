@@ -631,3 +631,72 @@ def test_mega_generate_stepwise_int4kv(tmp_path):
         qmodel, qparams, batch, max_cache_len=cache_len,
         max_new_tokens=n_new, eos_token_id=-1, cache_buffers=bufs)
     np.testing.assert_array_equal(np.asarray(again), np.asarray(toks))
+
+
+@pytest.mark.parametrize("kv_bits", [8, 4])
+def test_mega_generate_stepwise_kernel_interpret(kv_bits):
+    """The bench ladder's serving flow with the KERNEL in the loop:
+    generate_stepwise -> prefill writes the packed mega cache -> a
+    MegaServer whose steps run mega_decode_layers in INTERPRET mode (on
+    CPU the default server takes the XLA reference fallback, so without
+    this the kernel never decodes e2e off-chip). The kernel stream must
+    match the reference-fallback stream token for token — identical
+    quantized arithmetic, so only f32 summation order differs."""
+    import dataclasses
+
+    from mmor_tpu.config import MM2SGConfig
+    from mmor_tpu.models.mm2sg import MM2SG, generate_stepwise
+    from mmor_tpu.models.llama import fuse_llama_params, quantize_llama_params
+
+    cfg0 = MM2SGConfig.tiny()
+    b, t = 2, 16
+    size = cfg0.vision.image_size
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "input_ids": jax.random.randint(key, (b, t), 3,
+                                        cfg0.llama.vocab_size),
+        "attention_mask": jnp.ones((b, t), jnp.int32),
+        "images": jax.random.normal(key, (b, cfg0.pooler.max_views, size,
+                                          size, 3)),
+        "view_mask": jnp.ones((b, cfg0.pooler.max_views), jnp.int32),
+        "audio_embedding": jnp.zeros((b, cfg0.pooler.audio_dim)),
+    }
+    batch["input_ids"] = batch["input_ids"].at[:, 2].set(-200)
+    model0 = MM2SG(cfg0)
+    params0 = model0.init(
+        jax.random.PRNGKey(1), batch["input_ids"], batch["attention_mask"],
+        batch["images"], batch["view_mask"],
+        audio_embedding=batch["audio_embedding"],
+    )
+    qcfg = dataclasses.replace(
+        cfg0, llama=dataclasses.replace(
+            cfg0.llama, weight_quant=True, kv_quant=True, fused_qkv=True,
+            mega_decode=True, kv_bits=kv_bits))
+    lm = params0["params"]["language_model"]
+    lm_q = quantize_llama_params(
+        fuse_llama_params({"params": lm}))["params"]
+    qparams = {"params": dict(params0["params"], language_model=lm_q)}
+    qmodel = MM2SG(qcfg)
+    n_new, cache_len = 10, 64
+
+    ref_toks, _ = generate_stepwise(
+        qmodel, qparams, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1)
+
+    class InterpServer(md.MegaServer):
+        def step_for(self, batch_, t_cap):
+            key_ = (batch_, t_cap)
+            if key_ not in self._steps:
+                geo = md.MegaGeometry.from_config(self.cfg, batch=batch_,
+                                                  t_cap=t_cap)
+                self._steps[key_] = md.make_mega_decode_step(
+                    self.cfg, geo, interpret=True)
+            return self._steps[key_]
+
+    server = InterpServer(qcfg.llama,
+                          {"params": qparams["params"]["language_model"]})
+    kern_toks, _ = generate_stepwise(
+        qmodel, qparams, batch, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1, step_fn=server)
+    np.testing.assert_array_equal(np.asarray(kern_toks),
+                                  np.asarray(ref_toks))
