@@ -38,6 +38,10 @@ TP_RULES: tuple[tuple[str, P], ...] = (
     (r".*blocks/(o_proj|down_proj)/w_[qp]$", P(None, "model", None)),
     (r".*blocks/(q_proj|k_proj|v_proj|gate_proj|up_proj|qkv_proj|gate_up_proj)/scale$",
      P(None, "model")),
+    # int4 grouped scales carry a (K/group) axis: (L, K/group, N). o/down
+    # shard the K-group axis with their K-sharded weights; the output-dim
+    # projections get the group axis replicated via the rank adapter below.
+    (r".*blocks/(o_proj|down_proj)/scale$", P(None, "model", None)),
     (r".*lm_head/kernel$", P(None, "model")),
     (r".*lm_head/w_[qp]$", P(None, "model")),
     (r".*lm_head/scale$", P("model")),
@@ -54,15 +58,23 @@ def tp_param_shardings(mesh: Mesh, params):
     def spec_for(path, leaf):
         ps = _path_str(path)
         for pattern, spec in TP_RULES:
-            if re.match(pattern, ps):
-                # skip axes that don't divide evenly (tiny test configs)
-                sizes = leaf.shape
-                ok = all(
-                    ax is None or sizes[i] % mesh.shape[ax] == 0
-                    for i, ax in enumerate(spec)
-                )
-                if ok:
-                    return NamedSharding(mesh, spec)
+            if not re.match(pattern, ps):
+                continue
+            if ps.endswith("/scale") and leaf.ndim == len(spec) + 1:
+                # int4 grouped scale (L, K/group, N) matched a 2-D
+                # (per-channel) rule: keep the rule's semantic axes and
+                # replicate the inserted K-group axis
+                spec = P(*spec[:-1], None, spec[-1])
+            if len(spec) != leaf.ndim:
+                continue  # e.g. the 3-D o/down scale rule vs int8 (L, N)
+            # skip axes that don't divide evenly (tiny test configs)
+            sizes = leaf.shape
+            ok = all(
+                ax is None or sizes[i] % mesh.shape[ax] == 0
+                for i, ax in enumerate(spec)
+            )
+            if ok:
+                return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -114,3 +114,57 @@ def test_tp_sharded_serving_decode_matches_replicated(base):
         got = rollout(sharded, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=6e-4, rtol=1e-4)
+
+
+def test_tp_rules_int4_grouped_scales(base):
+    """int4 layouts: grouped scales are (L, K/group, N) — output-dim rules
+    replicate the inserted K-group axis, o/down shard it with their
+    K-sharded weights."""
+    cfg, model, params, ids, mask = base
+    qparams = quantize_llama_params(fuse_llama_params(params, tp_segments=2),
+                                    bits=4, group=32)
+    mesh = make_mesh(n_data=4, n_model=2)
+    specs = tp_param_shardings(mesh, qparams)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    by_path = {"/".join(str(getattr(k, "key", k)) for k in p): s
+               for p, s in flat}
+    assert by_path["params/blocks/qkv_proj/w_p"].spec == P(None, None, "model")
+    assert by_path["params/blocks/qkv_proj/scale"].spec == \
+        P(None, None, "model")
+    assert by_path["params/blocks/gate_up_proj/scale"].spec == \
+        P(None, None, "model")
+    assert by_path["params/blocks/o_proj/w_p"].spec == P(None, "model", None)
+    assert by_path["params/blocks/o_proj/scale"].spec == \
+        P(None, "model", None)
+    assert by_path["params/blocks/down_proj/scale"].spec == \
+        P(None, "model", None)
+    # int8 per-channel o/down scales stay replicated (the 3-D rule skips)
+    q8 = quantize_llama_params(fuse_llama_params(params, tp_segments=2))
+    specs8 = tp_param_shardings(mesh, q8)
+    flat8 = jax.tree_util.tree_flatten_with_path(specs8)[0]
+    by8 = {"/".join(str(getattr(k, "key", k)) for k in p): s
+           for p, s in flat8}
+    assert by8["params/blocks/o_proj/scale"].spec == P()
+
+
+def test_tp_sharded_int4_forward_matches_replicated(base):
+    """Sharded int4 serving forward == replicated on the virtual mesh
+    (GSPMD semantics with the grouped-scale shardings)."""
+    cfg, model, params, ids, mask = base
+    fcfg = dataclasses.replace(cfg, fused_qkv=True, tp_segments=2,
+                               weight_quant=True, weight_bits=4,
+                               weight_group=32)
+    qparams = quantize_llama_params(fuse_llama_params(params, tp_segments=2),
+                                    bits=4, group=32)
+    qmodel = LlamaModel(fcfg)
+    ref, _ = qmodel.apply(qparams, input_ids=ids, attention_mask=mask)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sparams = shard_params(mesh, qparams)
+    with mesh:
+        got, _ = jax.jit(
+            lambda p: qmodel.apply(p, input_ids=ids, attention_mask=mask)
+        )(sparams)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
