@@ -35,6 +35,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# the axon sitecustomize re-pins the platform at interpreter start, so a
+# plain JAX_PLATFORMS=cpu env var does NOT take; honor an explicit request
+# at the config level (CPU smoke runs: MMOR_TPU_BENCH_PLATFORM=cpu)
+if os.environ.get("MMOR_TPU_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MMOR_TPU_BENCH_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,6 +216,9 @@ def _preflight_tunnel():
         return
     if os.environ.get("MMOR_TPU_BENCH_PREFLIGHT", "1") != "1":
         return
+    override = os.environ.get("MMOR_TPU_BENCH_PLATFORM")
+    if override and "axon" not in override:
+        return  # explicit non-axon platform: the tunnel is irrelevant
     import socket
     for port in (8082, 8083, 8087, 8092, 8093, 8097):
         try:

@@ -227,6 +227,9 @@ def ms_deform_attn_pallas(
     Falls back per-sample via vmap over N."""
     from mmor_tpu.ops.deformable_attention import _masked_gather_core
 
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        interpret = True  # CPU fallback, like the quantized matmuls
+
     n, s_len, m, d = value.shape
     _, lq, _, n_levels, p, _ = sampling_locations.shape
     if query_shapes is None:
