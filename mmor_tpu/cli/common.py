@@ -72,8 +72,14 @@ def init_params(cfg: MM2SGConfig, model: MM2SG):
 def build_predictor(
     preset: str, tokenizer, checkpoint: str | Path | None,
     temporality: str | None = None,
-    quantize: bool = False,
+    quantize: bool | str = False,
 ) -> SceneGraphPredictor:
+    """``quantize``: False/None = bf16; "int8" (or True, back-compat) =
+    packed-int8 weights + int8 KV, per-op stepwise decode (the round-2
+    serving config); "int4" = the megakernel serving config — fused
+    qkv/gate-up, int4 weights (per-K-chunk scales), int4 T-halved KV, ALL
+    decoder layers in one pallas call per token (ops/mega_decode.py).
+    Quality gates: tests/test_generation_parity.py."""
     cfg = model_config(preset, tokenizer)
     model = MM2SG(cfg)
     params = init_params(cfg, model)
@@ -84,8 +90,8 @@ def build_predictor(
         params = restored.get("params_full", restored) if isinstance(restored, dict) else restored
         if "params" not in params:
             params = {"params": params}
-    if quantize:
-        # int8 decoder weights + int8 KV cache: the measured serving config
+    mode = {True: "int8", False: None}.get(quantize, quantize)
+    if mode == "int8":
         import dataclasses
 
         from mmor_tpu.models.llama import quantize_llama_params
@@ -100,6 +106,30 @@ def build_predictor(
                                       kv_quant=True, ffn_pad=ffn_pad),
         )
         model = MM2SG(cfg)
+    elif mode == "int4":
+        import dataclasses
+
+        from mmor_tpu.models.llama import (fuse_llama_params,
+                                           quantize_llama_params)
+        from mmor_tpu.ops.mega_decode import MegaGeometry
+
+        ffn_pad = (-cfg.llama.ffn_dim) % 1024
+        lcfg = dataclasses.replace(
+            cfg.llama, weight_quant=True, kv_quant=True, fused_qkv=True,
+            mega_decode=True, weight_bits=4, kv_bits=4, ffn_pad=ffn_pad)
+        group = MegaGeometry.pick_ck(lcfg)
+        if group % 256 != 0:
+            # small/test geometries can't host the megakernel's int4 lane
+            # tiles (ck % 256); degrade to per-op int4 weights + int8 KV
+            lcfg = dataclasses.replace(lcfg, mega_decode=False, kv_bits=8)
+        lcfg = dataclasses.replace(lcfg, weight_group=group)
+        lm = params["params"]["language_model"]
+        params["params"]["language_model"] = quantize_llama_params(
+            fuse_llama_params(lm), ffn_pad=ffn_pad, bits=4, group=group)
+        cfg = dataclasses.replace(cfg, llama=lcfg)
+        model = MM2SG(cfg)
+    elif mode not in (None,):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     return SceneGraphPredictor(
         cfg=cfg, model=model, params=params, tokenizer=tokenizer,
         temporality=temporality,

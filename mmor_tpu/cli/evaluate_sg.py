@@ -55,8 +55,12 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=0,
                    help="fabricate a synthetic dataset with N frames")
     p.add_argument("--output", default=None)
-    p.add_argument("--quantize", action="store_true",
-                   help="serve with int8 weights + int8 KV cache")
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="serving quantization: bare flag or 'int8' = packed "
+                        "int8 W+KV (per-op decode); 'int4' = the megakernel "
+                        "config (fused projections, int4 W + int4 KV, all "
+                        "decoder layers in one pallas call per token)")
     p.add_argument("--verbose", action="store_true",
                    help="print the reference-style per-take tables")
     args = p.parse_args(argv)

@@ -185,22 +185,29 @@ class MegaGeometry:
         assert g.bnb == g.ck, "tape-B blocks must match the chunk width"
 
     @classmethod
+    def pick_ck(cls, cfg: LlamaConfig) -> int:
+        """The K-chunk width from_config auto-selects for ``cfg`` — also
+        the int4 scale group serving setups must quantize with."""
+        dh = cfg.head_dim
+        dim = cfg.dim
+        ffn = cfg.ffn_dim + cfg.ffn_pad
+        qw = cfg.n_heads * dh
+        for cand in (1024, 512, 256, 128, 64, 32, 16):
+            if (cand % dh == 0 and dim % cand == 0 and ffn % cand == 0
+                    and cfg.n_heads % max(1, cand // dh) == 0
+                    and qw % (2 * cand) == 0):
+                return cand
+        raise ValueError(f"no legal K-chunk for dim={dim} ffn={ffn} dh={dh}")
+
+    @classmethod
     def from_config(cls, cfg: LlamaConfig, batch: int, t_cap: int,
                     **kw) -> "MegaGeometry":
         assert cfg.n_kv_heads == cfg.n_heads, "megakernel assumes MHA"
         kw.setdefault("wbits", cfg.weight_bits)
         kw.setdefault("kvbits", cfg.kv_bits)
         dh = cfg.head_dim
-        dim = cfg.dim
-        ffn = cfg.ffn_dim + cfg.ffn_pad
-        qw = cfg.n_heads * dh
         if "ck" not in kw:  # auto-tile for small/test configs; bna = 2*ck
-            for cand in (1024, 512, 256, 128, 64, 32, 16):
-                if (cand % dh == 0 and dim % cand == 0 and ffn % cand == 0
-                        and cfg.n_heads % max(1, cand // dh) == 0
-                        and qw % (2 * cand) == 0):
-                    kw["ck"] = cand
-                    break
+            kw["ck"] = cls.pick_ck(cfg)
         if "g" not in kw:
             kw["g"] = kw["ck"] // dh
         if "bna" not in kw:
@@ -208,8 +215,9 @@ class MegaGeometry:
         if "bnb" not in kw:
             kw["bnb"] = kw["ck"]  # residual-chunk writes fix bnb
         geo = cls(
-            n_layers=cfg.n_layers, dim=dim, n_heads=cfg.n_heads,
-            head_dim=dh, ffn=ffn, t_cap=t_cap, batch=batch, **kw)
+            n_layers=cfg.n_layers, dim=cfg.dim, n_heads=cfg.n_heads,
+            head_dim=dh, ffn=cfg.ffn_dim + cfg.ffn_pad, t_cap=t_cap,
+            batch=batch, **kw)
         geo.validate()
         if geo.wbits == 4:
             assert cfg.weight_group == geo.ck, (

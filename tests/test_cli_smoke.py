@@ -15,6 +15,19 @@ def test_evaluate_sg_cli(capsys):
     assert "macro_f1" in report
 
 
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_evaluate_sg_cli_quantized(capsys, mode):
+    """--quantize int8 (per-op packed) / int4 (megakernel serving config;
+    tiny geometry degrades to per-op int4 weights — ck<256)."""
+    from mmor_tpu.cli.evaluate_sg import main
+
+    main(["--synthetic", "2", "--preset", "tiny", "--mode", "evaluate",
+          "--batch_size", "2", "--quantize", mode])
+    out = capsys.readouterr().out
+    report = json.loads(out[out.index("{"):])
+    assert "macro_f1" in report
+
+
 def test_train_mm2sg_cli(tmp_path, capsys):
     from mmor_tpu.cli.train_mm2sg import main
 
