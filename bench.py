@@ -9,20 +9,24 @@ JSON line.
 Default configuration is a fastest-first LADDER (each rung falls through on
 OOM/compile failure): (1) whole-decode-step megakernel (all 32 layers in one
 pallas call per token, ops/mega_decode.py) with int4 weights + int4 KV at
-batch 32, (2) the same at batch 24, (3) the round-2 per-op stepwise int8
+batch 40, (2) the same at batch 32, (3) the round-2 per-op stepwise int8
 path at batch 20. All rungs use fused qkv/gate-up projections, stepwise
 donated-cache decode, and raw uint8 native-resolution frames preprocessed on
 device inside the jit'd prefill (BASELINE's fused-preprocessing
 requirement). The megakernel is DMA-bound at ~320 GB/s on this chip
-(docs/DESIGN.md §4.1), so int4 tapes + T-halved int4 KV set the bytes/token
-floor; int4 quality is gated by tests/test_generation_parity.py.
+(docs/DESIGN.md §4.1), so in-place int4 weights + T-halved int4 KV set the
+bytes/token floor; int4 quality is gated by tests/test_generation_parity.py.
 
 ``vs_baseline`` is the ratio against the reference setup's estimated A100
 throughput (batch 8, greedy, max_new_tokens 300, LLaVA-v1.5-7B ~= 35 tok/s
 per sequence => ~0.93 frames/s; the repo publishes no numbers — BASELINE.md).
 
 Env overrides: MMOR_TPU_BENCH_PRESET (7b|small|tiny), MMOR_TPU_BENCH_BATCH,
-MMOR_TPU_BENCH_NEW_TOKENS, MMOR_TPU_BENCH_PROMPT, MMOR_TPU_BENCH_QUANT (1|0).
+MMOR_TPU_BENCH_NEW_TOKENS, MMOR_TPU_BENCH_PROMPT, MMOR_TPU_BENCH_QUANT (1|0),
+MMOR_TPU_BENCH_MEGA / _WBITS / _KVBITS (setting any pins a single config —
+no ladder), _RAW, _MODE (stepwise|whileloop), _SAMPLER (pallas|gather|tiled),
+_PANOPTIC (1|0), _PLATFORM (e.g. cpu — config-level override for smoke
+runs), _PREFLIGHT (1|0 tunnel liveness check).
 """
 
 import dataclasses
@@ -280,6 +284,7 @@ def main():
 
     fps = tag = batch_size = None
     for i, att in enumerate(attempts):
+        failed = False
         try:
             batch_size = att["batch_size"]
             fps, tag = run_once(preset, quant, fused, att["mega"],
@@ -291,6 +296,11 @@ def main():
                   f"{type(e).__name__}: {e}"[:400], file=sys.stderr)
             if i == len(attempts) - 1:
                 raise
+            failed = True
+        if failed:
+            # cleanup OUTSIDE the except block: e.__traceback__ pins the
+            # failed rung's frames (and its ~10+ GB of device buffers)
+            # until the handler exits
             import gc
             gc.collect()          # drop device buffers and
             jax.clear_caches()    # compiled programs before the next rung

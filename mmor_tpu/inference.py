@@ -104,6 +104,19 @@ class SceneGraphPredictor:
     def _generate(self, params, batch):
         from mmor_tpu.models.mm2sg import generate_stepwise, make_prefill
 
+        b = batch["input_ids"].shape[0]
+        pad = (-b) % 8 if self.cfg.llama.mega_decode else 0
+        if pad:
+            # the megakernel walks 8-aligned sublane batch row-groups, so a
+            # ragged final chunk (dataset size % batch_size) must pad up;
+            # repeated first rows keep values in-distribution and the
+            # outputs slice back to the real batch below
+            batch = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+                if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == b
+                else a,
+                batch)
         cache_len = self._cache_len_for(batch["input_ids"].shape[1])
         key = (batch["input_ids"].shape[0], cache_len)
         if key not in self._prefills:
@@ -120,7 +133,7 @@ class SceneGraphPredictor:
         )
         if bufs is not None:
             self._buffers[key] = bufs
-        return tokens
+        return tokens[:b] if pad else tokens
 
     # ---------------------------------------------------------------- #
     # batch assembly

@@ -78,6 +78,52 @@ def _random_cache(key, geo: md.MegaGeometry, prefix: int):
     )
 
 
+def _random_int4_blocks(key, cfg: LlamaConfig, geo: md.MegaGeometry):
+    """Random int4-quantized fused blocks (per-(geo.ck, channel) scales)."""
+    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
+                                               quantize_weights_int4)
+
+    ks = jax.random.split(key, 6)
+    l, d, f = cfg.n_layers, cfg.dim, cfg.ffn_dim
+    qw = cfg.n_heads * cfg.head_dim
+
+    def q4(key, k_in, n):
+        w = jax.random.normal(key, (l, k_in, n)) * 0.02
+        wq, sc = jax.vmap(
+            lambda x: quantize_weights_int4(x, group=geo.ck))(w)
+        return {"w_p": jax.vmap(
+                    lambda x: pack_int4_rows(x, block=geo.ck))(wq),
+                "scale": sc}
+
+    return {
+        "qkv_proj": q4(ks[0], d, 3 * qw),
+        "o_proj": q4(ks[1], qw, d),
+        "gate_up_proj": q4(ks[2], d, 2 * f),
+        "down_proj": q4(ks[3], f, d),
+        "attn_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[4], (l, d))},
+        "mlp_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[5], (l, d))},
+    }
+
+
+def _random_int4_cache(key, geo: md.MegaGeometry, prefix: int):
+    """T-halved nibble cache stacks with `prefix` valid positions."""
+    ks = jax.random.split(key, 2)
+    l, b, h, dh, t = (geo.n_layers, geo.batch, geo.n_heads, geo.head_dim,
+                      geo.t_cap)
+    kf = jax.random.normal(ks[0], (l, b, h, t, dh)) * 0.5
+    vf = jax.random.normal(ks[1], (l, b, h, t, dh)) * 0.5
+    kq, k_s = md.quantize_k_int4(kf)
+    vq, v_s = md.quantize_v_int4(vf)
+    return dict(
+        k=kq, k_s=k_s.transpose(0, 2, 1, 3),
+        v=vq, v_s=v_s.transpose(0, 2, 1, 3),
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(t)[None] < prefix).astype(jnp.int32), (b, t)),
+        write_pos=jnp.asarray(prefix, jnp.int32),
+        tok_pos=jnp.full((b,), prefix, jnp.int32),
+    )
+
+
 @pytest.fixture(scope="module")
 def setup():
     blocks = _random_blocks(jax.random.PRNGKey(0), CFG)
@@ -295,9 +341,6 @@ def test_mega_int4_kernel_matches_reference():
     vs its reference at a ck=256 interpret geometry — the int4 analogue of
     test_mega_kernel_matches_reference; quality itself is gated by
     tests/test_generation_parity.py::test_int4_*."""
-    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
-                                               quantize_weights_int4)
-
     cfg = LlamaConfig(
         vocab_size=128, dim=512, n_layers=1, n_heads=4, n_kv_heads=4,
         ffn_dim=1024, max_seq_len=64, dtype=jnp.bfloat16,
@@ -306,30 +349,11 @@ def test_mega_int4_kernel_matches_reference():
     )
     geo = md.MegaGeometry.from_config(cfg, batch=8, t_cap=32)
     assert geo.wbits == 4 and geo.ck == 256
-    key = jax.random.PRNGKey(7)
-    ks = jax.random.split(key, 6)
-    l, d, f = cfg.n_layers, cfg.dim, cfg.ffn_dim
-    qw = cfg.n_heads * cfg.head_dim
-
-    def q4(key, k_in, n):
-        w = jax.random.normal(key, (l, k_in, n)) * 0.02
-        wq, sc = jax.vmap(
-            lambda x: quantize_weights_int4(x, group=geo.ck))(w)
-        return {"w_p": jax.vmap(
-                    lambda x: pack_int4_rows(x, block=geo.ck))(wq),
-                "scale": sc}
-
-    blocks = {
-        "qkv_proj": q4(ks[0], d, 3 * qw),
-        "o_proj": q4(ks[1], qw, d),
-        "gate_up_proj": q4(ks[2], d, 2 * f),
-        "down_proj": q4(ks[3], f, d),
-        "attn_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[4], (l, d))},
-        "mlp_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[5], (l, d))},
-    }
+    blocks = _random_int4_blocks(jax.random.PRNGKey(7), cfg, geo)
     tapes = md.build_tapes(blocks, geo)
     cache = _random_cache(jax.random.PRNGKey(8), geo, prefix=24)
-    x = jax.random.normal(ks[5], (geo.batch, d), jnp.bfloat16) * 0.3
+    x = jax.random.normal(jax.random.PRNGKey(9), (geo.batch, cfg.dim),
+                          jnp.bfloat16) * 0.3
     cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
 
     got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo,
@@ -351,9 +375,6 @@ def test_mega_int4kv_kernel_matches_reference():
     phase (interpret mode) vs the reference — the e2e int4-KV test runs
     the reference fallback, so without this the kernel's nibble-unpack
     attention path would only ever execute on real hardware."""
-    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
-                                               quantize_weights_int4)
-
     cfg = LlamaConfig(
         vocab_size=128, dim=512, n_layers=2, n_heads=4, n_kv_heads=4,
         ffn_dim=1024, max_seq_len=64, dtype=jnp.bfloat16,
@@ -362,44 +383,13 @@ def test_mega_int4kv_kernel_matches_reference():
     )
     geo = md.MegaGeometry.from_config(cfg, batch=8, t_cap=64)
     assert geo.wbits == 4 and geo.kvbits == 4
-    key = jax.random.PRNGKey(9)
-    ks = jax.random.split(key, 8)
-    l, d, f = cfg.n_layers, cfg.dim, cfg.ffn_dim
-    qw = cfg.n_heads * cfg.head_dim
-
-    def q4(key, k_in, n):
-        w = jax.random.normal(key, (l, k_in, n)) * 0.02
-        wq, sc = jax.vmap(
-            lambda x: quantize_weights_int4(x, group=geo.ck))(w)
-        return {"w_p": jax.vmap(
-                    lambda x: pack_int4_rows(x, block=geo.ck))(wq),
-                "scale": sc}
-
-    blocks = {
-        "qkv_proj": q4(ks[0], d, 3 * qw),
-        "o_proj": q4(ks[1], qw, d),
-        "gate_up_proj": q4(ks[2], d, 2 * f),
-        "down_proj": q4(ks[3], f, d),
-        "attn_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[4], (l, d))},
-        "mlp_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[5], (l, d))},
-    }
+    blocks = _random_int4_blocks(jax.random.PRNGKey(9), cfg, geo)
     tapes = md.build_tapes(blocks, geo)
-    t, b = geo.t_cap, geo.batch
-    dh = cfg.head_dim
-    kf = jax.random.normal(ks[6], (l, b, cfg.n_heads, t, dh)) * 0.5
-    vf = jax.random.normal(ks[7], (l, b, cfg.n_heads, t, dh)) * 0.5
-    kq_, k_s = md.quantize_k_int4(kf)
-    vq_, v_s = md.quantize_v_int4(vf)
-    cache = dict(
-        k=kq_, k_s=k_s.transpose(0, 2, 1, 3),
-        v=vq_, v_s=v_s.transpose(0, 2, 1, 3),
-        kv_mask=jnp.broadcast_to(
-            (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (b, t)),
-        write_pos=jnp.asarray(t - 8, jnp.int32),
-        tok_pos=jnp.full((b,), t - 8, jnp.int32),
-    )
-    x = jax.random.normal(ks[5], (b, d), jnp.bfloat16) * 0.3
-    cos, sin = md.rope_tables(cache["tok_pos"], dh, cfg.rope_theta)
+    cache = _random_int4_cache(jax.random.PRNGKey(10), geo,
+                               prefix=geo.t_cap - 8)
+    x = jax.random.normal(jax.random.PRNGKey(11), (geo.batch, cfg.dim),
+                          jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
 
     got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo,
                                 interpret=True)
@@ -456,9 +446,6 @@ def test_mega_b40_bp64_geometry_matches_reference():
     """batch=40 — the bench ladder's first rung geometry: bp pads 40->64
     (the >32-sublane padding path) and attention walks rg=8 row-groups,
     nb8=5 per head. int4 W + int4 KV, interpret mode vs the reference."""
-    from mmor_tpu.ops.quantized_matmul import (pack_int4_rows,
-                                               quantize_weights_int4)
-
     cfg = LlamaConfig(
         vocab_size=128, dim=512, n_layers=1, n_heads=4, n_kv_heads=4,
         ffn_dim=1024, max_seq_len=64, dtype=jnp.bfloat16,
@@ -467,44 +454,13 @@ def test_mega_b40_bp64_geometry_matches_reference():
     )
     geo = md.MegaGeometry.from_config(cfg, batch=40, t_cap=64)
     assert geo.bp == 64 and geo.rg == 8 and geo.nb8 == 5
-    key = jax.random.PRNGKey(13)
-    ks = jax.random.split(key, 8)
-    l, d, f = cfg.n_layers, cfg.dim, cfg.ffn_dim
-    qw = cfg.n_heads * cfg.head_dim
-
-    def q4(key, k_in, n):
-        w = jax.random.normal(key, (l, k_in, n)) * 0.02
-        wq, sc = jax.vmap(
-            lambda x: quantize_weights_int4(x, group=geo.ck))(w)
-        return {"w_p": jax.vmap(
-                    lambda x: pack_int4_rows(x, block=geo.ck))(wq),
-                "scale": sc}
-
-    blocks = {
-        "qkv_proj": q4(ks[0], d, 3 * qw),
-        "o_proj": q4(ks[1], qw, d),
-        "gate_up_proj": q4(ks[2], d, 2 * f),
-        "down_proj": q4(ks[3], f, d),
-        "attn_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[4], (l, d))},
-        "mlp_norm": {"scale": 1.0 + 0.1 * jax.random.normal(ks[5], (l, d))},
-    }
+    blocks = _random_int4_blocks(jax.random.PRNGKey(13), cfg, geo)
     tapes = md.build_tapes(blocks, geo)
-    t, b = geo.t_cap, geo.batch
-    dh = cfg.head_dim
-    kf = jax.random.normal(ks[6], (l, b, cfg.n_heads, t, dh)) * 0.5
-    vf = jax.random.normal(ks[7], (l, b, cfg.n_heads, t, dh)) * 0.5
-    kq_, k_s = md.quantize_k_int4(kf)
-    vq_, v_s = md.quantize_v_int4(vf)
-    cache = dict(
-        k=kq_, k_s=k_s.transpose(0, 2, 1, 3),
-        v=vq_, v_s=v_s.transpose(0, 2, 1, 3),
-        kv_mask=jnp.broadcast_to(
-            (jnp.arange(t)[None] < t - 8).astype(jnp.int32), (b, t)),
-        write_pos=jnp.asarray(t - 8, jnp.int32),
-        tok_pos=jnp.full((b,), t - 8, jnp.int32),
-    )
-    x = jax.random.normal(ks[5], (b, d), jnp.bfloat16) * 0.3
-    cos, sin = md.rope_tables(cache["tok_pos"], dh, cfg.rope_theta)
+    cache = _random_int4_cache(jax.random.PRNGKey(14), geo,
+                               prefix=geo.t_cap - 8)
+    x = jax.random.normal(jax.random.PRNGKey(15), (geo.batch, cfg.dim),
+                          jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
 
     got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo,
                                 interpret=True)

@@ -102,7 +102,10 @@ def rand_cache(key, prefix):
 def main():
     print(f"L={L} B={B} T={T} ffn={FFN} w{WBITS} kv{KVBITS} steps/layer={geo.steps_per_layer} "
           f"grid={L}x{geo.steps_per_layer}", flush=True)
-    wbytes = (geo.wqkv + 2 * FFN + 2 * cfg.dim) * cfg.dim * L * WBITS // 8
+    qw = cfg.n_heads * cfg.head_dim
+    wbytes = ((geo.wqkv * cfg.dim + qw * cfg.dim          # qkv + o
+               + 2 * FFN * cfg.dim + FFN * cfg.dim)       # gate_up + down
+              * L * WBITS // 8)
     kvbytes = 2 * L * B * cfg.n_heads * cfg.head_dim * T * KVBITS // 8
     print(f"weights {wbytes/1e9:.2f} GB  kv {kvbytes/1e9:.2f} GB", flush=True)
 
