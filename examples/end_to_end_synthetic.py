@@ -63,10 +63,14 @@ def main():
                 "--batch_size", "2", "--save_every", "3",
                 "--run_dir", str(root / "mm2sg_run")])
 
-    # 4. scene-graph evaluation
+    # 4. scene-graph evaluation — bf16, then the quantized serving config
+    # (int4 weights; at 7B scale this also engages the whole-decode-step
+    # megakernel and the int4 KV cache — ops/mega_decode.py)
     from mmor_tpu.cli.evaluate_sg import main as eval_main
 
     eval_main(["--synthetic", "2", "--preset", "tiny", "--batch_size", "2"])
+    eval_main(["--synthetic", "2", "--preset", "tiny", "--batch_size", "2",
+               "--quantize", "int4"])
 
     # 5. panoptic training (one CTVIS step)
     from mmor_tpu.cli.train_panoptic import main as pan_train
