@@ -98,7 +98,7 @@ def _kernel(meta_ref, iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
         out_ref[0, m] += part
 
 
-def _precompute(loc, attn, query_shapes, spatial_shapes, edges, n_tiles_per):
+def _precompute(loc, attn, query_shapes, spatial_shapes, edges):
     """XLA-side coordinate/weight prep -> per-(tile, level) operand blocks.
 
     Returns (meta (S,2) i32, coords dict of (S, M, TQ, P) arrays, overflow
@@ -119,8 +119,15 @@ def _precompute(loc, attn, query_shapes, spatial_shapes, edges, n_tiles_per):
         loc_l = loc[q0:q0 + lq_l].reshape(hq, wq, m, n_levels, p, 2)
         attn_l = attn[q0:q0 + lq_l].reshape(hq, wq, m, n_levels, p)
         pad_y, pad_x = n_ty * edge - hq, n_tx * edge - wq
+        # ragged-tile pad queries REPLICATE the edge rows/cols: their
+        # attention weights are zero so they contribute nothing, but they
+        # participate in the tile's window-anchor min below — a constant
+        # center pad (0.5) dragged edge tiles' windows toward the image
+        # center at production shapes (92x160 % 16 != 0), kicking every
+        # real sample out of its window and re-running the slow gather
+        # residual each frame
         loc_l = jnp.pad(loc_l, ((0, pad_y), (0, pad_x)) + ((0, 0),) * 4,
-                        constant_values=0.5)
+                        mode="edge")
         attn_l = jnp.pad(attn_l, ((0, pad_y), (0, pad_x)) + ((0, 0),) * 3)
         # (n_ty, n_tx, edge*edge, M, L, P, ...)
         loc_t = loc_l.reshape(n_ty, edge, n_tx, edge, m, n_levels, p, 2
@@ -184,12 +191,6 @@ def _precompute(loc, attn, query_shapes, spatial_shapes, edges, n_tiles_per):
         q0 += lq_l
 
     # interleave per level: operand row order is (tile-major, level-minor)
-    def cat(parts):
-        # parts come level-minor already (appended per tile-set per level):
-        # reorder: currently grouped [qlevel][lvl][tiles] -> flatten so the
-        # grid walks tile-major with its 3 level steps adjacent
-        return parts
-
     n_l = len(spatial_shapes)
     # per query level we appended n_levels entries each covering all tiles
     # of that level: reshape to (tiles, levels) interleave
@@ -224,7 +225,8 @@ def ms_deform_attn_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas tiled deformable attention for grid-organized queries.
-    Falls back per-sample via vmap over N."""
+    Batch samples run as one pallas_call each (a Python loop over N, not a
+    true vmap — trace/HLO size grows with N; panoptic windows are N<=3)."""
     from mmor_tpu.ops.deformable_attention import _masked_gather_core
 
     if jax.devices()[0].platform not in ("tpu", "axon"):
@@ -252,7 +254,7 @@ def ms_deform_attn_pallas(
 
     def one_sample(loc, attn, vls):
         meta, coords, ovf, out_slots = _precompute(
-            loc, attn, query_shapes, spatial_shapes, edges, None)
+            loc, attn, query_shapes, spatial_shapes, edges)
         steps = meta.shape[0]
         n_tiles = steps // n_levels
 

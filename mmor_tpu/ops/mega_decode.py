@@ -98,10 +98,6 @@ class MegaGeometry:
         return self.dim // self.ck
 
     @property
-    def hg(self) -> int:  # attention groups (legacy; g unused in head-major)
-        return self.n_heads // self.g
-
-    @property
     def rg(self) -> int:  # attention batch-row group (8-aligned sublanes)
         # largest 8-multiple divisor of batch (<= bp): fewer, fatter
         # attention steps — the walk is (head x batch/rg) grid steps and
@@ -173,6 +169,10 @@ class MegaGeometry:
         if g.wbits == 4:
             assert g.ck % 8 == 0 and g.ck % 256 == 0, \
                 "int4 halves must stay lane-tile aligned"
+            # the o phase slices each head from one nibble half: heads
+            # must not straddle the ck/2 boundary (hpc even)
+            assert (g.ck // g.head_dim) % 2 == 0, \
+                "int4 o-phase needs 2*head_dim <= ck (whole heads per nibble half)"
         assert g.kvbits in (8, 4)
         if g.kvbits == 4:
             assert g.t_cap % 8 == 0, "T-halved nibble packing needs T % 8"
@@ -463,6 +463,7 @@ def quantize_v_int4(v: jax.Array, t_cap: int | None = None
 def unpack_k_int4(kp: jax.Array, t: int) -> jax.Array:
     """Inverse of quantize_k_int4's packing -> int values (..., T, D)."""
     *lead, d4, half = kp.shape
+    assert t == 2 * half, ("t must match the packed T-halved layout", t)
     parts = []
     for nib in (kp & 0x0F0F0F0F, (kp >> 4) & 0x0F0F0F0F):
         bs = [((nib >> (8 * b)) & 0xFF).astype(jnp.int8) for b in range(4)]
@@ -474,6 +475,7 @@ def unpack_k_int4(kp: jax.Array, t: int) -> jax.Array:
 def unpack_v_int4(vp: jax.Array, t: int) -> jax.Array:
     """Inverse of quantize_v_int4's packing -> int values (..., T, D)."""
     *lead, t8, d = vp.shape
+    assert t == 8 * t8, ("t must match the packed T-halved layout", t)
     parts = []
     for nib in (vp & 0x0F0F0F0F, (vp >> 4) & 0x0F0F0F0F):
         bs = [((nib >> (8 * b)) & 0xFF).astype(jnp.int8) for b in range(4)]
@@ -509,9 +511,9 @@ def _mega_kernel(
     # outputs
     x_out_ref,     # (1, bp, ck) bf16       [j]
     knew_ref,      # (1, bp, bna) int8      [l*nkb + (j - qb)]
-    knew_s_ref,    # (1, bp, 128) f32
+    knew_s_ref,    # (1, bp, bna/dh) f32
     vnew_ref,      # (1, bp, bna) int8
-    vnew_s_ref,    # (1, bp, 128) f32
+    vnew_s_ref,    # (1, bp, bna/dh) f32
     # optional debug-dump outputs (debug_dump != ""), then scratch:
     # xs (nxc,bp,ck) f32 | x2s | hq int8 | hrs | qatt (H,bp,dh) int8 | qs |
     # kcur f32 | vcur f32 | a8 int8 | ars | m8 (ffn/ck,bp,ck) int8 | mrs |
@@ -548,7 +550,6 @@ def _mega_kernel(
     qb = g.q_width // g.bna          # q blocks in qkv phase
     kb = qb + g.q_width // g.bna     # first v block
     heads_per_blk = bna // dh
-    grp_per_blk = bna // ck          # attention groups per qkv block
 
     def quant_rows(x):
         """f32 (..., rows, lanes) -> (int8, f32 scales (..., rows, 1))."""

@@ -161,3 +161,30 @@ def test_pallas_sampler_matches_oracle(off_scale):
         interpret=True))
     want = oracle(value, shapes, loc, attn)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_sampler_no_overflow_at_ragged_grids():
+    """Window anchoring on RAGGED tile grids (production R50 shapes are
+    92x160/46x80/23x40 — none divisible by their tile edges) must keep
+    reference-scale samples inside their windows: the zero-weight pad
+    queries used to sit at the image center (constant 0.5 pad) and dragged
+    edge tiles' windows away from their real queries, firing the slow
+    gather residual on every frame. Pad queries now replicate edge rows."""
+    from mmor_tpu.ops.deformable_sampler import (_precompute, _tile_edges)
+
+    shapes = ((46, 80), (23, 40))
+    m, p = 2, 4
+    s = sum(h * w for h, w in shapes)
+    lq = s
+    rng = np.random.default_rng(3)
+    ref = _grid_refs(shapes)
+    # reference-init-scale offsets: within a few pixels of the query point
+    off = rng.uniform(-0.02, 0.02, (lq, m, len(shapes), p, 2))
+    loc = jnp.asarray(ref[:, None, None, None, :] + off, jnp.float32)
+    attn = rng.uniform(0.1, 1.0, (lq, m, len(shapes), p))
+    attn = jnp.asarray(attn / attn.reshape(lq, m, -1).sum(-1)
+                       .reshape(lq, m, 1, 1), jnp.float32)
+    edges = _tile_edges(shapes)
+    meta, coords, ovf, _ = _precompute(loc, attn, shapes, shapes, edges)
+    assert not bool(jnp.any(ovf)), (
+        f"{int(jnp.sum(ovf))} in-map samples fell outside their windows")
