@@ -201,9 +201,12 @@ def ms_deform_attn_tiled(
         loc_l = loc[:, q0:q0 + lq_l]
         attn_l = attn[:, q0:q0 + lq_l]
         if pad_rows:
+            # replicate the last row's queries (zero attention weight):
+            # a constant center pad (0.5) would drag the band anchor's min
+            # toward the image center for bottom tiles — see the same fix
+            # in deformable_sampler._precompute
             loc_l = jnp.pad(loc_l, ((0, 0), (0, pad_rows * wq), (0, 0),
-                                    (0, 0), (0, 0), (0, 0)),
-                            constant_values=0.5)
+                                    (0, 0), (0, 0), (0, 0)), mode="edge")
             attn_l = jnp.pad(attn_l, ((0, 0), (0, pad_rows * wq), (0, 0),
                                       (0, 0), (0, 0)))
         # (N, ntile, TQ, M, L, P, ...)
