@@ -138,12 +138,15 @@ def extra_checks():
 
 def sampler_checks():
     """Pallas one-hot-matmul deformable sampler (ops/deformable_sampler.py)
-    vs the gather core computed on CPU — the panoptic serving sampler."""
+    vs the gather core computed on CPU — the panoptic serving sampler.
+    Shapes are ragged production-scale levels ((46,80) exceeds the (32,40)
+    window and no level divides its tile edge) so the window-anchor path
+    and the 8-aligned x-starts are exercised on hardware."""
     import numpy as np
     from mmor_tpu.ops.deformable_attention import ms_deform_attn
     from mmor_tpu.ops.deformable_sampler import ms_deform_attn_pallas
 
-    shapes = ((24, 40), (12, 20), (6, 10))
+    shapes = ((46, 80), (23, 40))
     n, m, d, p = 1, 8, 32, 4
     s = sum(h * w for h, w in shapes)
     lq = s  # grid-organized queries (encoder self-attention layout)
