@@ -256,8 +256,9 @@ def main():
         "MMOR_TPU_BENCH_BATCH", "MMOR_TPU_BENCH_MEGA", "MMOR_TPU_BENCH_WBITS",
         "MMOR_TPU_BENCH_KVBITS"))
     if pinned or not quant or mode != "stepwise" or not fused:
-        default_batch = "20" if quant else "1"
         mega = env("MMOR_TPU_BENCH_MEGA", "0") == "1" and quant and fused
+        # mega needs batch % 8 == 0 (kernel row-groups)
+        default_batch = "24" if mega else ("20" if quant else "1")
         attempts = [dict(
             mega=mega,
             wbits=int(env("MMOR_TPU_BENCH_WBITS", "8")),
