@@ -268,7 +268,7 @@ def ms_deform_attn_pallas(
                 pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
                 pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
                 pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
-            ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
+            ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
             out_specs=pl.BlockSpec(
                 (1, m, tq, d), lambda s, meta, nl=n_levels: (s // nl, 0, 0, 0)),
             scratch_shapes=[
