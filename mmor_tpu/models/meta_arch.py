@@ -58,20 +58,21 @@ class DVISPlus(nn.Module):
         self.tracker = ReferringTracker(self.cfg.tracker, name="tracker")
         self.refiner = TemporalRefiner(self.cfg.refiner, name="refiner")
 
-    def segment(self, images: jax.Array, num_frames: int):
+    def segment(self, images: jax.Array, num_frames: int, train: bool = False):
         """(B*T, H, W, 3) normalized frames -> segmenter outputs.
 
         For the video stages the segmenter runs frame-independent (T folded
         into the batch, one query set per frame) like the reference's
         ``segmentor_windows_inference`` — pass num_frames=1 and reshape."""
-        return self.segmenter(images, num_frames)
+        return self.segmenter(images, num_frames, train)
 
-    def segment_frames(self, images: jax.Array):
+    def segment_frames(self, images: jax.Array, train: bool = False):
         """Frame-independent segmentation: every frame gets its own queries.
 
         images: (B*T, H, W, 3) -> dict with pred_embds (B*T, Q, C), masks
-        (B*T, Q, 1, H/4, W/4), logits (B*T, Q, K+1)."""
-        return self.segmenter(images, 1)
+        (B*T, Q, 1, H/4, W/4), logits (B*T, Q, K+1). ``train=True`` turns on
+        backbone stochastic depth (swin/vit_adapter)."""
+        return self.segmenter(images, 1, train)
 
     def track(
         self,

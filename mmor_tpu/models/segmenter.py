@@ -98,11 +98,16 @@ class VideoSegmenter(nn.Module):
         )
         self.decoder = VideoMaskedTransformerDecoder(cfg.decoder, name="decoder")
 
-    def __call__(self, images: jax.Array, num_frames: int = 1):
+    def __call__(self, images: jax.Array, num_frames: int = 1,
+                 train: bool = False):
         """images: (B*T, H, W, 3) normalized pixels. Returns decoder outputs:
         pred_logits (B, Q, K+1), pred_masks (B, Q, T, H/4, W/4), pred_embds,
-        aux_outputs."""
-        feats = self.backbone(images)
+        aux_outputs. ``train=True`` enables backbone stochastic depth
+        (swin / vit_adapter DropPath; needs a 'dropout' rng)."""
+        if self.cfg.backbone == "resnet50":
+            feats = self.backbone(images)  # FrozenBN: no train-mode behavior
+        else:
+            feats = self.backbone(images, train)
         mask_features, multi_scale = self.pixel_decoder(feats)
         bt, h4, w4, c = mask_features.shape
         b = bt // num_frames

@@ -28,6 +28,10 @@ class SwinConfig:
     window_size: int = 7
     mlp_ratio: float = 4.0
     patch_size: int = 4
+    # stochastic depth: per-block rates linspace(0, rate, sum(depths)),
+    # applied to both residual branches in train mode (reference swin.py
+    # DropPath usage at :291-292; cfg.MODEL.SWIN.DROP_PATH_RATE=0.3)
+    drop_path_rate: float = 0.3
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -42,10 +46,32 @@ class SwinConfig:
         return cls(**kw)
 
     @classmethod
+    def swin_s(cls, **kw):
+        base = dict(depths=(2, 2, 18, 2))
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
     def swin_b(cls, **kw):
         base = dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32))
         base.update(kw)
         return cls(**base)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop a residual branch per-sample (timm DropPath;
+    reference swin.py:224,291-292). Identity when not training or rate 0."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if not train or self.rate == 0.0:
+            return x
+        # per-sample mask broadcast over all non-batch dims
+        return nn.Dropout(
+            self.rate, broadcast_dims=tuple(range(1, x.ndim)), name="drop"
+        )(x, deterministic=False)
 
 
 def _window_partition(x: jax.Array, w: int) -> jax.Array:
@@ -136,9 +162,10 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, C)
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:  # (B, H, W, C)
         b, h, wd, c = x.shape
         w = self.window_size
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
@@ -156,7 +183,8 @@ class SwinBlock(nn.Module):
         x = _window_reverse(windows, w, h, wd)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + x
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, train)
 
         y = ln("ln2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
@@ -164,7 +192,7 @@ class SwinBlock(nn.Module):
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc2")(y)
-        return x + y
+        return x + dp(y, train)
 
 
 class SwinBackbone(nn.Module):
@@ -173,7 +201,7 @@ class SwinBackbone(nn.Module):
     cfg: SwinConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> dict[str, jax.Array]:
+    def __call__(self, images: jax.Array, train: bool = False) -> dict[str, jax.Array]:
         cfg = self.cfg
         x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size), dtype=cfg.dtype,
@@ -183,8 +211,12 @@ class SwinBackbone(nn.Module):
         x = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                          name="patch_norm")(x)
 
+        # stochastic-depth decay rule: 0 -> drop_path_rate across all blocks
+        # (reference swin.py:583)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
         outputs = {}
         dim = cfg.embed_dim
+        block_i = 0
         for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
             b, h, wd, _ = x.shape
             w = cfg.window_size
@@ -195,7 +227,9 @@ class SwinBackbone(nn.Module):
             for blk in range(depth):
                 shift = 0 if blk % 2 == 0 else w // 2
                 x = SwinBlock(dim, heads, w, shift, cfg.mlp_ratio, cfg.dtype,
-                              cfg.param_dtype, name=f"stage{stage}_block{blk}")(x)
+                              cfg.param_dtype, drop_path=float(dpr[block_i]),
+                              name=f"stage{stage}_block{blk}")(x, train)
+                block_i += 1
             x = x[:, :h, :wd]
             out = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                                name=f"out_norm{stage}")(x)

@@ -24,8 +24,10 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mmor_tpu.models.layers import DeformableAttention, sine_position_embedding_2d
+from mmor_tpu.models.swin import DropPath
 
 
 @dataclass(frozen=True)
@@ -38,6 +40,10 @@ class VitAdapterConfig:
     conv_dim: int = 64  # spatial prior module stem width
     n_interactions: int = 4
     n_points: int = 4
+    # stochastic depth over ViT blocks (linspace decay) and the Extractor
+    # FFN branch, matching the reference's drop_path threading
+    # (backbones.py:116-118, adapter.py:112,124); DINOv2 default is 0.0
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -51,25 +57,27 @@ class VitAdapterConfig:
 
 class VitBlock(nn.Module):
     cfg: VitAdapterConfig
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                                        name=name)
+        dp = DropPath(self.drop_path, name="drop_path")
         h = ln("ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=cfg.vit_heads, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             name="attn",
         )(h, h)
-        x = x + h
+        x = x + dp(h, train)
         h = ln("ln2")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                      name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.vit_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                      name="fc2")(h)
-        return x + h, None
+        return x + dp(h, train), None
 
 
 class SpatialPriorModule(nn.Module):
@@ -123,7 +131,8 @@ class Extractor(nn.Module):
     cfg: VitAdapterConfig
 
     @nn.compact
-    def __call__(self, pyramid_flat, pyramid_shapes, vit_tokens, vit_shape):
+    def __call__(self, pyramid_flat, pyramid_shapes, vit_tokens, vit_shape,
+                 train: bool = False):
         cfg = self.cfg
         refs = []
         for (h, w) in pyramid_shapes:
@@ -143,7 +152,8 @@ class Extractor(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.vit_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                      name="fc2")(h)
-        return x + h
+        # drop-path on the cffn branch (adapter.py:124)
+        return x + DropPath(cfg.drop_path_rate, name="drop_path")(h, train)
 
 
 def _grid_reference_points(h: int, w: int, n_levels: int) -> jnp.ndarray:
@@ -160,9 +170,11 @@ class VitAdapterBackbone(nn.Module):
     cfg: VitAdapterConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> dict[str, jax.Array]:
+    def __call__(self, images: jax.Array, train: bool = False) -> dict[str, jax.Array]:
         cfg = self.cfg
         b, ih, iw, _ = images.shape
+        # stochastic-depth decay over the ViT blocks (backbones.py:118)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, max(cfg.vit_layers, 1))
 
         # ViT patch tokens (1/patch scale)
         tokens = nn.Conv(cfg.vit_dim, (cfg.patch_size, cfg.patch_size),
@@ -190,13 +202,15 @@ class VitAdapterBackbone(nn.Module):
             for _ in range(blocks_per_chunk):
                 if layer >= cfg.vit_layers:
                     break
-                tokens, _ = VitBlock(cfg, name=f"vit_block_{layer}")(tokens)
+                tokens, _ = VitBlock(cfg, drop_path=float(dpr[layer]),
+                                     name=f"vit_block_{layer}")(tokens, train)
                 layer += 1
             pyramid = Extractor(cfg, name=f"extractor_{i}")(
-                pyramid, pyr_shapes, tokens, (th, tw)
+                pyramid, pyr_shapes, tokens, (th, tw), train
             )
         while layer < cfg.vit_layers:
-            tokens, _ = VitBlock(cfg, name=f"vit_block_{layer}")(tokens)
+            tokens, _ = VitBlock(cfg, drop_path=float(dpr[layer]),
+                                 name=f"vit_block_{layer}")(tokens, train)
             layer += 1
 
         # split the refined pyramid back to maps

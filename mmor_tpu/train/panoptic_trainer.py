@@ -164,7 +164,11 @@ def make_panoptic_train_step(
     def losses_ctvis(full_params, batch, key):
         images, targets = batch["images"], batch["targets"]
         b, n, t = targets["masks"].shape[:3]
-        seg = model.apply(full_params, images, method=DVISPlus.segment_frames)
+        key, k_dp = jax.random.split(key)
+        # train=True: backbone stochastic depth (swin/vit_adapter DropPath)
+        seg = model.apply(full_params, images, train=True,
+                          rngs={"dropout": k_dp},
+                          method=DVISPlus.segment_frames)
         outputs = {
             "pred_logits": seg["pred_logits"],  # (B*T, Q, K+1)
             "pred_masks": seg["pred_masks"],  # (B*T, Q, 1, H, W)

@@ -77,3 +77,58 @@ def test_segmenter_with_swin_backbone():
     out = model.apply(params, images, num_frames=1)
     assert out["pred_masks"].shape[-2:] == (16, 16)
     assert bool(jnp.all(jnp.isfinite(out["pred_logits"])))
+
+def test_swin_s_preset():
+    cfg = SwinConfig.swin_s()
+    assert cfg.depths == (2, 2, 18, 2)
+    assert cfg.embed_dim == 96 and cfg.num_heads == (3, 6, 12, 24)
+
+
+def test_drop_path_train_vs_eval():
+    """DropPath: identity in eval; per-sample drop+rescale in train."""
+    from mmor_tpu.models.swin import DropPath
+
+    x = jnp.ones((64, 4, 4, 3))
+    dp = DropPath(0.5)
+    params = dp.init({"params": jax.random.PRNGKey(0)}, x)
+    # eval: exact identity, no rng needed
+    np.testing.assert_array_equal(np.asarray(dp.apply(params, x)), np.asarray(x))
+    # train: each sample either zeroed or scaled by 1/keep
+    y = np.asarray(dp.apply(params, x, True,
+                            rngs={"dropout": jax.random.PRNGKey(1)}))
+    per_sample = y.reshape(64, -1)
+    zeroed = (per_sample == 0.0).all(axis=1)
+    scaled = np.isclose(per_sample, 2.0).all(axis=1)
+    assert (zeroed | scaled).all()
+    assert zeroed.any() and scaled.any()
+
+
+def test_swin_backbone_drop_path_stochastic_in_train():
+    cfg = SwinConfig.tiny_test(drop_path_rate=0.9)
+    model = SwinBackbone(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    # eval ignores the rate entirely
+    e1 = model.apply(params, x)
+    e2 = model.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(e1["res2"]), np.asarray(e2["res2"]))
+    # train mode with different rngs gives different outputs (res3: the
+    # decay rule puts rate 0 on the very first block, so res2 is unaffected
+    # at depths (1, 1))
+    t1 = model.apply(params, x, True, rngs={"dropout": jax.random.PRNGKey(2)})
+    t2 = model.apply(params, x, True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(t1["res3"]), np.asarray(t2["res3"]))
+
+
+def test_vit_adapter_drop_path_train_mode():
+    from mmor_tpu.models.vit_adapter import VitAdapterBackbone, VitAdapterConfig
+
+    cfg = VitAdapterConfig.tiny_test(drop_path_rate=0.8, vit_layers=3)
+    model = VitAdapterBackbone(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    e1 = model.apply(params, x)
+    t1 = model.apply(params, x, True, rngs={"dropout": jax.random.PRNGKey(2)})
+    t2 = model.apply(params, x, True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(t1["res4"]), np.asarray(t2["res4"]))
+    assert bool(jnp.all(jnp.isfinite(e1["res4"])))
