@@ -70,12 +70,20 @@ class ClipEncoderLayer(nn.Module):
 
 
 class ClipVisionTower(nn.Module):
-    """Maps (N, H, W, 3) preprocessed images to (N, tokens, dim) patch features."""
+    """Maps (N, H, W, 3) preprocessed images to (N, tokens, dim) patch features.
+
+    ``mode="global"`` is the reference's ``global_forward`` pooler variant
+    (`clip_encoder.py:53-65`): the FULL encoder stack runs (the remaining
+    tail layers live as unscanned ``tail_block_*`` params) and the CLS token
+    of the final hidden state passes through the post-layernorm — HF
+    ``CLIPVisionModel`` ``pooler_output`` semantics. Off the published MM-OR
+    configs (mv_type is always "learned"), provided for capability parity.
+    """
 
     cfg: ClipVitConfig
 
     @nn.compact
-    def __call__(self, pixels: jax.Array) -> jax.Array:
+    def __call__(self, pixels: jax.Array, mode: str = "patch") -> jax.Array:
         cfg = self.cfg
         n = pixels.shape[0]
         patches = nn.Conv(
@@ -113,4 +121,15 @@ class ClipVisionTower(nn.Module):
             length=n_run,
         )(cfg, name="blocks")
         x, _ = blocks(x)
-        return x[:, 1:, :]  # drop CLS -> patch tokens only
+        if mode == "patch":
+            return x[:, 1:, :]  # drop CLS -> patch tokens only
+        if mode != "global":
+            raise ValueError(f"unknown mode {mode!r}")
+        # global_forward: finish the stack, post-LN the CLS token
+        for i in range(n_run, cfg.n_layers):
+            x, _ = ClipEncoderLayer(cfg, name=f"tail_block_{i}")(x)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="post_ln",
+        )(x[:, :1, :])
+        return x[:, 0, :]  # (N, dim) pooled feature

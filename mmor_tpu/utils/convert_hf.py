@@ -126,7 +126,7 @@ def convert_clip_vision(sd: dict, cfg: ClipVitConfig) -> dict:
     blocks = _unflatten({k: np.stack(v) for k, v in per_layer.items()})
 
     patch = get("vision_model.embeddings.patch_embedding.weight")  # (out, 3, P, P)
-    return {
+    out = {
         "patch_embed": {"kernel": patch.transpose(2, 3, 1, 0)},
         "cls_token": get("vision_model.embeddings.class_embedding").reshape(1, 1, -1),
         "pos_embed": get("vision_model.embeddings.position_embedding.weight")[None],
@@ -134,6 +134,25 @@ def convert_clip_vision(sd: dict, cfg: ClipVitConfig) -> dict:
                    "bias": get("vision_model.pre_layrnorm.bias")},
         "blocks": blocks,
     }
+    # tail layers + post-layernorm for the global_forward pooler variant
+    # (clip_encoder.py:53-65); unused params are ignored by the patch path
+    for i in range(n_run, cfg.n_layers):
+        p = f"vision_model.encoder.layers.{i}"
+        out[f"tail_block_{i}"] = {
+            "ln1": {"scale": get(f"{p}.layer_norm1.weight"),
+                    "bias": get(f"{p}.layer_norm1.bias")},
+            "ln2": {"scale": get(f"{p}.layer_norm2.weight"),
+                    "bias": get(f"{p}.layer_norm2.bias")},
+            "attn": _mha_params(sd, f"{p}.self_attn", cfg.n_heads, cfg.dim),
+            "fc1": {"kernel": _t(get(f"{p}.mlp.fc1.weight")),
+                    "bias": get(f"{p}.mlp.fc1.bias")},
+            "fc2": {"kernel": _t(get(f"{p}.mlp.fc2.weight")),
+                    "bias": get(f"{p}.mlp.fc2.bias")},
+        }
+    if "vision_model.post_layernorm.weight" in sd:
+        out["post_ln"] = {"scale": get("vision_model.post_layernorm.weight"),
+                          "bias": get("vision_model.post_layernorm.bias")}
+    return out
 
 
 def convert_bert_pooler(sd: dict, cfg: PoolerConfig, prefix: str = "") -> dict:

@@ -70,3 +70,30 @@ def test_clip_conversion_matches_hf_hidden_states():
     want = hf_out.hidden_states[-2][:, 1:].numpy()
     ours = model.apply(params, jnp.asarray(pixels))
     np.testing.assert_allclose(np.asarray(ours), want, atol=2e-4)
+
+
+def test_clip_global_forward_matches_hf_pooler_output():
+    """mode='global' == HF CLIPVisionModel pooler_output (the reference's
+    global_forward pooler variant, clip_encoder.py:53-65)."""
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ClipVitConfig(
+        image_size=28, patch_size=14, dim=32, n_layers=3, n_heads=2,
+        mlp_dim=64, dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = {"params": convert_clip_vision(sd, cfg)}
+    model = ClipVisionTower(cfg)
+
+    pixels = np.random.default_rng(1).standard_normal((2, 28, 28, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(pixels.transpose(0, 3, 1, 2))).pooler_output.numpy()
+    ours = model.apply(params, jnp.asarray(pixels), mode="global")
+    assert ours.shape == (2, 32)
+    np.testing.assert_allclose(np.asarray(ours), want, atol=2e-4)
