@@ -78,6 +78,40 @@ def convert(args, cfg: MM2SGConfig | None = None):
         bert = convert_bert_pooler(sd, cfg.pooler)
         params["params"]["image_pooler"].update(bert)
         print(f"converted pooler bert from {args.pooler}")
+    if args.non_lora:
+        import torch
+
+        from mmor_tpu.utils.convert_hf import (
+            convert_non_lora_trainables,
+            merge_clip_partial,
+        )
+
+        blob = torch.load(args.non_lora, map_location="cpu")
+        sd = {k: v.float().numpy() for k, v in blob.items()}
+        updates = convert_non_lora_trainables(
+            sd, cfg.pooler, cfg.vision, allow_ptv3_reinit=args.ptv3_reinit
+        )
+        if "image_pooler" in updates:
+            params["params"]["image_pooler"].update(updates["image_pooler"])
+        if "mm_projector" in updates:
+            params["params"]["mm_projector"] = updates["mm_projector"]
+        if "segmask_encoder" in updates:
+            params["params"]["segmask_encoder"] = updates["segmask_encoder"]
+        if "vision_tower_partial" in updates:
+            params["params"]["vision_tower"] = merge_clip_partial(
+                params["params"]["vision_tower"],
+                updates["vision_tower_partial"], cfg.vision,
+            )
+            print(f"merged {len(updates['vision_tower_partial'])} tuned CLIP "
+                  "layers from non_lora_trainables")
+        if "skipped_ptv3" in updates:
+            print(f"WARNING: {len(updates['skipped_ptv3'])} trained PTv3 "
+                  "tensors skipped (spconv stem/xCPE have no counterpart in "
+                  "the TPU-native PTv3) — the point encoder stays at fresh "
+                  "init and needs re-finetuning (see "
+                  "convert_hf.PTv3ConversionError and --init_from curriculum "
+                  "in cli/train_mm2sg.py)")
+        print(f"converted non-LoRA trainables from {args.non_lora}")
 
     if args.quantize:
         from mmor_tpu.models.llama import quantize_llama_params
@@ -99,6 +133,13 @@ def main(argv=None):
     p.add_argument("--llama", default=None, help="HF Llama/LLaVA model dir")
     p.add_argument("--clip", default=None, help="HF CLIPVisionModel dir")
     p.add_argument("--pooler", default=None, help="HF BertModel dir")
+    p.add_argument("--non-lora", dest="non_lora", default=None,
+                   help="reference non_lora_trainables.bin (tuned pooler / "
+                        "projector / segmask encoder / CLIP layers)")
+    p.add_argument("--ptv3-reinit", action="store_true",
+                   help="allow trained-PTv3 weights in --non-lora to be "
+                        "skipped (the TPU-native PTv3 stem cannot load them; "
+                        "re-finetune required)")
     p.add_argument("--preset", default="7b")
     p.add_argument("--output", required=True)
     p.add_argument("--quantize", action="store_true")

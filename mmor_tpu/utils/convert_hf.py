@@ -94,6 +94,22 @@ def _mha_params(sd: dict, prefix: str, n_heads: int, dim: int,
     }
 
 
+def _clip_layer(sd: dict, p: str, cfg: ClipVitConfig) -> dict:
+    """One HF CLIP encoder layer -> our ClipEncoderLayer param tree."""
+    get = lambda k: np.asarray(sd[k])
+    return {
+        "ln1": {"scale": get(f"{p}.layer_norm1.weight"),
+                "bias": get(f"{p}.layer_norm1.bias")},
+        "ln2": {"scale": get(f"{p}.layer_norm2.weight"),
+                "bias": get(f"{p}.layer_norm2.bias")},
+        "attn": _mha_params(sd, f"{p}.self_attn", cfg.n_heads, cfg.dim),
+        "fc1": {"kernel": _t(get(f"{p}.mlp.fc1.weight")),
+                "bias": get(f"{p}.mlp.fc1.bias")},
+        "fc2": {"kernel": _t(get(f"{p}.mlp.fc2.weight")),
+                "bias": get(f"{p}.mlp.fc2.bias")},
+    }
+
+
 def convert_clip_vision(sd: dict, cfg: ClipVitConfig) -> dict:
     """HF CLIPVisionModel state dict -> ClipVisionTower params['params'].
 
@@ -108,18 +124,7 @@ def convert_clip_vision(sd: dict, cfg: ClipVitConfig) -> dict:
     blocks: dict = {}
     per_layer: dict[str, list] = {}
     for i in range(n_run):
-        p = f"vision_model.encoder.layers.{i}"
-        layer = {
-            "ln1": {"scale": get(f"{p}.layer_norm1.weight"),
-                    "bias": get(f"{p}.layer_norm1.bias")},
-            "ln2": {"scale": get(f"{p}.layer_norm2.weight"),
-                    "bias": get(f"{p}.layer_norm2.bias")},
-            "attn": _mha_params(sd, f"{p}.self_attn", cfg.n_heads, cfg.dim),
-            "fc1": {"kernel": _t(get(f"{p}.mlp.fc1.weight")),
-                    "bias": get(f"{p}.mlp.fc1.bias")},
-            "fc2": {"kernel": _t(get(f"{p}.mlp.fc2.weight")),
-                    "bias": get(f"{p}.mlp.fc2.bias")},
-        }
+        layer = _clip_layer(sd, f"vision_model.encoder.layers.{i}", cfg)
         flat = _flatten(layer)
         for key, val in flat.items():
             per_layer.setdefault(key, []).append(val)
@@ -137,18 +142,8 @@ def convert_clip_vision(sd: dict, cfg: ClipVitConfig) -> dict:
     # tail layers + post-layernorm for the global_forward pooler variant
     # (clip_encoder.py:53-65); unused params are ignored by the patch path
     for i in range(n_run, cfg.n_layers):
-        p = f"vision_model.encoder.layers.{i}"
-        out[f"tail_block_{i}"] = {
-            "ln1": {"scale": get(f"{p}.layer_norm1.weight"),
-                    "bias": get(f"{p}.layer_norm1.bias")},
-            "ln2": {"scale": get(f"{p}.layer_norm2.weight"),
-                    "bias": get(f"{p}.layer_norm2.bias")},
-            "attn": _mha_params(sd, f"{p}.self_attn", cfg.n_heads, cfg.dim),
-            "fc1": {"kernel": _t(get(f"{p}.mlp.fc1.weight")),
-                    "bias": get(f"{p}.mlp.fc1.bias")},
-            "fc2": {"kernel": _t(get(f"{p}.mlp.fc2.weight")),
-                    "bias": get(f"{p}.mlp.fc2.bias")},
-        }
+        out[f"tail_block_{i}"] = _clip_layer(
+            sd, f"vision_model.encoder.layers.{i}", cfg)
     if "vision_model.post_layernorm.weight" in sd:
         out["post_ln"] = {"scale": get("vision_model.post_layernorm.weight"),
                           "bias": get("vision_model.post_layernorm.bias")}
@@ -205,3 +200,151 @@ def _unflatten(flat: dict) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = val
     return out
+
+
+class PTv3ConversionError(RuntimeError):
+    """Raised when a non_lora_trainables blob carries trained PTv3 weights.
+
+    The reference's PTv3 uses a spconv sparse-conv stem and xCPE sparse convs
+    (`pointtransformerv3.py:141-177`); the TPU rebuild replaces those with a
+    linear embedding + serialized depthwise curve conv (models/ptv3.py), so
+    the trained stem/xCPE tensors have NO structural counterpart here. Only
+    ``point_transformer.project_pc`` maps. Pass ``allow_ptv3_reinit=True``
+    (CLI: ``--ptv3-reinit``) to convert everything else and leave the point
+    encoder at fresh initialization — it then needs re-finetuning (the
+    reference's own curriculum path, `train.py:1053-1085`, covers this:
+    init from the converted checkpoint and train with the vision stack
+    frozen until the PTv3 branch recovers).
+    """
+
+
+def convert_non_lora_trainables(
+    sd: dict,
+    pooler_cfg: PoolerConfig,
+    clip_cfg: ClipVitConfig | None = None,
+    *,
+    allow_ptv3_reinit: bool = False,
+):
+    """Reference ``non_lora_trainables.bin`` -> per-module param updates.
+
+    The blob (saved by `train.py:1284-1297`, reloaded by
+    `model/builder.py:150-177`) holds the tuned non-LoRA modules keyed as
+    ``model.image_pooler.*`` (BERT + project_audio + point_transformer incl.
+    project_pc + segmasks_encoder), ``model.mm_projector.*`` (mlp2x_gelu) and
+    ``model.vision_tower.vision_tower.*`` (the unfrozen CLIP layers,
+    partial). Returns a dict with keys among {"image_pooler",
+    "mm_projector", "segmask_encoder", "vision_tower_partial",
+    "skipped_ptv3"}:
+
+    - ``image_pooler``: update() onto our ImagePooler params (BERT layers,
+      project_pc, project_audio);
+    - ``mm_projector`` / ``segmask_encoder``: full param trees;
+    - ``vision_tower_partial``: {layer_index: ClipEncoderLayer tree} plus
+      optional embeddings/pre_ln entries — merge with
+      ``merge_clip_partial`` (the blob only carries the unfrozen layers);
+    - ``skipped_ptv3``: the unmappable trained-PTv3 key names (only when
+      ``allow_ptv3_reinit``; otherwise PTv3ConversionError raises).
+    """
+    # PEFT-wrapped saves prefix module paths with base_model.model.
+    sd = {k[len("base_model.model."):] if k.startswith("base_model.model.")
+          else k: np.asarray(v) for k, v in sd.items()}
+    out: dict = {}
+
+    pooler_sd = {k[len("model.image_pooler."):]: v for k, v in sd.items()
+                 if k.startswith("model.image_pooler.")}
+    if pooler_sd:
+        # trained PTv3 weights cannot map onto the TPU-native PTv3 (see
+        # PTv3ConversionError) — everything except project_pc
+        ptv3_keys = sorted(
+            k for k in pooler_sd
+            if k.startswith("point_transformer.")
+            and not k.startswith("point_transformer.project_pc."))
+        if ptv3_keys and not allow_ptv3_reinit:
+            raise PTv3ConversionError(
+                "non_lora_trainables carries trained PointTransformerV3 "
+                f"weights ({len(ptv3_keys)} tensors, e.g. {ptv3_keys[0]!r}) "
+                "that have no structural counterpart in the TPU-native PTv3 "
+                "(spconv stem/xCPE were redesigned — models/ptv3.py). "
+                "Re-run with allow_ptv3_reinit=True / --ptv3-reinit to "
+                "convert the rest and re-finetune the point encoder."
+            )
+        updates: dict = {}
+        if any(k.startswith("bert.") for k in pooler_sd):
+            updates.update(convert_bert_pooler(pooler_sd, pooler_cfg,
+                                               prefix="bert."))
+        if "project_audio.weight" in pooler_sd:
+            updates["project_audio"] = {
+                "kernel": _t(pooler_sd["project_audio.weight"]),
+                "bias": pooler_sd["project_audio.bias"],
+            }
+        if "point_transformer.project_pc.weight" in pooler_sd:
+            updates["project_pc"] = {
+                "kernel": _t(pooler_sd["point_transformer.project_pc.weight"]),
+                "bias": pooler_sd["point_transformer.project_pc.bias"],
+            }
+        out["image_pooler"] = updates
+        if ptv3_keys:
+            out["skipped_ptv3"] = ptv3_keys
+
+        seg_sd = {k[len("segmasks_encoder."):]: v for k, v in pooler_sd.items()
+                  if k.startswith("segmasks_encoder.")}
+        if seg_sd:
+            seg = {"class_embed": {"embedding": seg_sd["embedding.weight"]}}
+            for i in range(1, 6):
+                # torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)
+                seg[f"conv{i}"] = {
+                    "kernel": seg_sd[f"conv{i}.weight"].transpose(2, 3, 1, 0),
+                    "bias": seg_sd[f"conv{i}.bias"],
+                }
+            out["segmask_encoder"] = seg
+
+    proj_sd = {k[len("model.mm_projector."):]: v for k, v in sd.items()
+               if k.startswith("model.mm_projector.")}
+    if proj_sd:
+        out["mm_projector"] = {
+            "fc1": {"kernel": _t(proj_sd["0.weight"]), "bias": proj_sd["0.bias"]},
+            "fc2": {"kernel": _t(proj_sd["2.weight"]), "bias": proj_sd["2.bias"]},
+        }
+
+    vt_sd = {k[len("model.vision_tower.vision_tower."):]: v
+             for k, v in sd.items()
+             if k.startswith("model.vision_tower.vision_tower.")}
+    if vt_sd and clip_cfg is not None:
+        partial: dict = {}
+        import re
+
+        layers = sorted({
+            int(m.group(1)) for k in vt_sd
+            if (m := re.match(r"vision_model\.encoder\.layers\.(\d+)\.", k))
+        })
+        for i in layers:
+            partial[i] = _clip_layer(vt_sd, f"vision_model.encoder.layers.{i}",
+                                     clip_cfg)
+        out["vision_tower_partial"] = partial
+
+    return out
+
+
+def merge_clip_partial(vision_params: dict, partial: dict,
+                       cfg: ClipVitConfig) -> dict:
+    """Write per-layer ClipEncoderLayer trees into the stacked ``blocks``
+    arrays (and ``tail_block_*`` where the index is beyond the -2 feature
+    cut). ``partial``: {layer_index: layer tree} from
+    convert_non_lora_trainables; mirrors the reference's strict=False
+    vision-tower reload (`model/builder.py:155-163`)."""
+    import jax
+
+    n_run = cfg.n_layers + cfg.feature_layer_offset + 1
+    vision_params = dict(vision_params)
+    blocks = dict(_flatten(vision_params["blocks"]))
+    for i, layer in partial.items():
+        if i < n_run:
+            for key, val in _flatten(layer).items():
+                stacked = np.asarray(blocks[key]).copy()
+                stacked[i] = val
+                blocks[key] = stacked
+        elif f"tail_block_{i}" in vision_params:
+            vision_params[f"tail_block_{i}"] = jax.tree.map(
+                np.asarray, layer)
+    vision_params["blocks"] = _unflatten(blocks)
+    return vision_params
