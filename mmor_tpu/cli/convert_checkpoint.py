@@ -78,7 +78,7 @@ def convert(args, cfg: MM2SGConfig | None = None):
         bert = convert_bert_pooler(sd, cfg.pooler)
         params["params"]["image_pooler"].update(bert)
         print(f"converted pooler bert from {args.pooler}")
-    if args.non_lora:
+    if getattr(args, "non_lora", None):
         import torch
 
         from mmor_tpu.utils.convert_hf import (
