@@ -188,3 +188,58 @@ def test_pallas_sampler_no_overflow_at_ragged_grids():
     meta, coords, ovf, _ = _precompute(loc, attn, shapes, shapes, edges)
     assert not bool(jnp.any(ovf)), (
         f"{int(jnp.sum(ovf))} in-map samples fell outside their windows")
+
+
+@pytest.mark.parametrize("scale_px", [8.0, 16.0, 32.0])
+def test_pallas_sampler_trained_offset_stress(scale_px):
+    """Offset-distribution stress (VERDICT r3 #3): trained models learn
+    offsets well beyond the reference init (~4 px at the finest level).
+    At x2/x4/x8 of that scale, at ragged production R50 shapes, the
+    sampler must (a) stay EXACT vs the oracle — the gather residual covers
+    whatever falls outside the (32x40) windows — and (b) keep the
+    fast-path/residual split sane: the window slack is ~8 rows around a
+    16-row tile, so x2 (8 px) must stay fully in-window and even x8 must
+    keep the overflow a small minority (it costs one slow gather pass per
+    frame when nonzero)."""
+    from mmor_tpu.ops.deformable_sampler import (
+        _precompute,
+        _tile_edges,
+        ms_deform_attn_pallas,
+    )
+
+    shapes = ((23, 40), (12, 20), (6, 10))  # production aspect, test-sized
+    m, p = 2, 4
+    s = sum(h * w for h, w in shapes)
+    lq = s
+    rng = np.random.default_rng(11)
+    ref = _grid_refs(shapes)
+    # normalized offsets equivalent to scale_px pixels AT EACH LEVEL
+    # (trained offsets scale with the level's resolution)
+    widths = np.array([w for _, w in shapes], dtype=np.float32)
+    heights = np.array([h for h, _ in shapes], dtype=np.float32)
+    unit = rng.uniform(-1.0, 1.0, (lq, m, len(shapes), p, 2))
+    off = np.stack([
+        unit[..., 0] * (scale_px / 4.0) / widths[None, None, :, None],
+        unit[..., 1] * (scale_px / 4.0) / heights[None, None, :, None],
+    ], axis=-1)
+    loc = np.clip(ref[:, None, None, None, :] + off, 0.0, 1.0).astype(np.float32)
+    attn = rng.uniform(0.1, 1.0, (lq, m, len(shapes), p)).astype(np.float32)
+    attn /= attn.reshape(lq, m, -1).sum(-1).reshape(lq, m, 1, 1)
+
+    # (b) split accounting
+    edges = _tile_edges(shapes)
+    _, _, ovf, _ = _precompute(
+        jnp.asarray(loc), jnp.asarray(attn), shapes, shapes, edges)
+    frac = float(jnp.mean(ovf.astype(jnp.float32)))
+    if scale_px <= 8.0:
+        assert frac == 0.0, f"x2 init-scale offsets overflowed ({frac:.4f})"
+    else:
+        assert frac < 0.35, f"overflow fraction {frac:.3f} at {scale_px}px"
+
+    # (a) exactness regardless of the split
+    value = rng.standard_normal((1, s, m, 8)).astype(np.float32)
+    got = np.asarray(ms_deform_attn_pallas(
+        jnp.asarray(value), shapes,
+        jnp.asarray(loc[None]), jnp.asarray(attn[None]), interpret=True))
+    want = oracle(value, shapes, loc[None], attn[None])
+    np.testing.assert_allclose(got, want, atol=1e-4)
