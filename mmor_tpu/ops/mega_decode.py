@@ -1442,17 +1442,22 @@ def rope_tables(tok_pos: jax.Array, head_dim: int, theta: float):
 
 
 def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
-                          *, interpret: bool = False, donate: bool = True):
+                          *, interpret: bool = False, donate: bool = True,
+                          force_reference: bool = False):
     """Jitted (head_params, tapes, cache, tok (B,1)) -> (nxt (B,), cache).
 
     head_params = {embed (V, D), final_norm (D,), lm_head_wp (D/4, V),
     lm_head_scale (V,)}. The cache is DONATED (in-place column updates).
     One megakernel + lm_head matmul + ~10 fused XLA glue ops per token.
+    ``force_reference=True`` runs the exact-arithmetic XLA oracle
+    (mega_decode_layers_reference) regardless of backend — the on-chip
+    generation-parity checks race it against the kernel step.
     """
     from mmor_tpu.ops.quantized_matmul import int8_matmul_packed
 
-    use_ref = interpret is False and jax.devices()[0].platform not in (
-        "tpu", "axon")
+    use_ref = force_reference or (
+        interpret is False and jax.devices()[0].platform not in (
+            "tpu", "axon"))
 
     def step(head_params, tapes, cache, tok):
         x = jnp.take(head_params["embed"], tok[:, 0], axis=0

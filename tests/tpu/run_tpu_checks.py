@@ -50,8 +50,154 @@ def main():
     ok &= sampler_checks()
     ok &= mega_checks()
     ok &= mega_int4_checks()
+    ok &= mega_generation_checks()
     print("ALL OK" if ok else "FAILURES")
     raise SystemExit(0 if ok else 1)
+
+
+def _stacked_quantized(key, l, k_in, n, geo, wbits):
+    """Per-layer stacked packed weights from quantized gaussians, built with
+    a DONATED accumulator: at 7B geometry the fp32 source for all 32 layers
+    would be ~24 GB, so only one layer's fp32 tensor is ever live."""
+    import functools
+
+    from mmor_tpu.ops.quantized_matmul import (
+        pack_int4_rows,
+        pack_int8_rows,
+        quantize_weights,
+        quantize_weights_int4,
+    )
+
+    if wbits == 8:
+        wp = jnp.zeros((l, k_in // 4, n), jnp.int32)
+        sc = jnp.zeros((l, n), jnp.float32)
+    else:
+        wp = jnp.zeros((l, k_in // 8, n), jnp.int32)
+        sc = jnp.zeros((l, k_in // geo.ck, n), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fill(wp, sc, i, key):
+        w = jax.random.normal(key, (k_in, n), jnp.float32) * 0.02
+        if wbits == 8:
+            q, s = quantize_weights(w)
+            p = pack_int8_rows(q)
+        else:
+            q, s = quantize_weights_int4(w, group=geo.ck)
+            p = pack_int4_rows(q, block=geo.ck)
+        return wp.at[i].set(p), sc.at[i].set(s)
+
+    for i in range(l):
+        wp, sc = fill(wp, sc, jnp.asarray(i), jax.random.fold_in(key, i))
+    return {"w_p": wp, "scale": sc}
+
+
+def mega_generation_checks(steps: int = 64):
+    """Kernel-in-the-loop greedy generation at FULL 7B geometry (32 layers,
+    dim 4096) vs the exact-arithmetic XLA reference running ON THE SAME
+    CHIP: 64 decode steps at b24 int8W+int8KV and b40 int4W+int4KV (the
+    bench ladder's rungs), token-agreement thresholds from
+    tests/test_generation_parity.py (int8 >=0.99, int4 >=0.95). This is the
+    on-hardware analogue of the reference's kernel-vs-oracle test
+    (`mask2former/.../ops/test.py:31-89`) at generation level."""
+    import gc
+    import os
+    import time
+
+    from mmor_tpu.config import LlamaConfig
+    from mmor_tpu.ops import mega_decode as md
+    from mmor_tpu.ops.quantized_matmul import pack_int8_rows, quantize_weights
+
+    ok = True
+    vocab = 512
+    l, d, f, qw = 32, 4096, 11264, 4096
+    t_cap, fill = 128, 56
+    if os.environ.get("MMOR_TPU_CHECK_SMALL") == "1":
+        # CPU smoke of the harness itself (kernel == reference there);
+        # widths stay at 7B (the int4 geometry needs 256-aligned K-chunks)
+        l, steps = 2, 8
+    for wbits, kvbits, batch, thresh in ((8, 8, 24, 0.99), (4, 4, 40, 0.95)):
+        cfg = LlamaConfig(dim=d, n_layers=l, n_heads=32, n_kv_heads=32,
+                          ffn_dim=f, weight_quant=True, kv_quant=True,
+                          fused_qkv=True, weight_bits=wbits, kv_bits=kvbits,
+                          mega_decode=True)
+        geo = md.MegaGeometry.from_config(cfg, batch=batch, t_cap=t_cap)
+        key = jax.random.PRNGKey(100 + wbits)
+        ks = jax.random.split(key, 10)
+        blocks = {
+            "qkv_proj": _stacked_quantized(ks[0], l, d, 3 * qw, geo, wbits),
+            "o_proj": _stacked_quantized(ks[1], l, qw, d, geo, wbits),
+            "gate_up_proj": _stacked_quantized(ks[2], l, d, 2 * f, geo, wbits),
+            "down_proj": _stacked_quantized(ks[3], l, f, d, geo, wbits),
+            "attn_norm": {"scale": jnp.ones((l, d))},
+            "mlp_norm": {"scale": jnp.ones((l, d))},
+        }
+        tapes = md.build_tapes(blocks, geo)
+
+        # prefill-like KV history: quantized gaussians, first `fill` columns
+        # valid; junk beyond `fill` is masked out of the attention
+        hd = d // 32  # head_dim (128 at 7B geometry)
+        if kvbits == 4:
+            kq, k_s = jax.jit(md.quantize_k_int4)(
+                jax.random.normal(ks[4], (l, batch, 32, t_cap, hd)) * 0.5)
+            vq, v_s = jax.jit(md.quantize_v_int4)(
+                jax.random.normal(ks[5], (l, batch, 32, t_cap, hd)) * 0.5)
+        else:
+            from mmor_tpu.models.llama import quantize_kv
+
+            kq, k_s = jax.jit(quantize_kv)(
+                jax.random.normal(ks[4], (l, batch, 32, t_cap, hd)) * 0.5)
+            vq, v_s = jax.jit(md.quantize_kv_tmajor)(
+                jax.random.normal(ks[5], (l, batch, 32, t_cap, hd)) * 0.5)
+        sdt = jnp.float32 if kvbits == 4 else jnp.bfloat16
+        cache0 = dict(
+            k=kq, k_s=k_s.transpose(0, 2, 1, 3).astype(sdt),
+            v=vq, v_s=v_s.transpose(0, 2, 1, 3).astype(sdt),
+            kv_mask=jnp.broadcast_to(
+                (jnp.arange(t_cap)[None] < fill).astype(jnp.int32),
+                (batch, t_cap)),
+            write_pos=jnp.asarray(fill, jnp.int32),
+            tok_pos=jnp.full((batch,), fill, jnp.int32),
+        )
+        head = dict(
+            embed=(jax.random.normal(ks[6], (vocab, d)) * 0.02
+                   ).astype(jnp.bfloat16),
+            final_norm=jnp.ones((d,)),
+        )
+        hq, hs = quantize_weights(jax.random.normal(ks[7], (d, vocab)) * 0.02)
+        head["lm_head_wp"], head["lm_head_scale"] = pack_int8_rows(hq), hs
+
+        tok0 = jax.random.randint(ks[8], (batch,), 0, vocab, jnp.int32)
+        streams = {}
+        for mode, force_ref in (("kernel", False), ("reference", True)):
+            step = md.make_mega_decode_step(cfg, geo,
+                                            force_reference=force_ref)
+            cache = jax.tree.map(lambda a: a.copy(), cache0)
+            tok = tok0
+            toks = []
+            t0 = None
+            for i in range(steps):
+                tok, cache = step(head, tapes, cache, tok[:, None])
+                toks.append(tok)
+                if i == 0:
+                    np.asarray(tok)  # sync out the compile
+                    t0 = time.perf_counter()
+            out = np.asarray(jnp.stack(toks, axis=1))
+            dt = (time.perf_counter() - t0) / max(steps - 1, 1)
+            streams[mode] = out
+            print(f"    {mode}: {dt * 1e3:.1f} ms/token")
+            del cache
+            gc.collect()
+
+        agree = float((streams["kernel"] == streams["reference"]).mean())
+        good = agree >= thresh
+        print(f"[{'OK ' if good else 'FAIL'}] mega-generation int{wbits}W+"
+              f"int{kvbits}KV b{batch} {steps} steps: "
+              f"token agreement={agree:.4f} (>= {thresh})")
+        ok &= good
+        del tapes, blocks, cache0
+        gc.collect()
+        jax.clear_caches()
+    return ok
 
 
 
