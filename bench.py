@@ -111,6 +111,181 @@ def panoptic_metric():
     }
 
 
+V5E_PEAK_BF16_FLOPS = 197e12  # per-chip peak; the tunnel chip is slower
+
+
+def _flops_of(jitted, *args):
+    """Analytical FLOPs of a compiled step (for MFU); None if the backend
+    doesn't expose cost analysis through the tunnel."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _time_step(run, *args, iters=3):
+    """Compile+warm then time; returns (seconds/step, donated-arg carry)."""
+    state = run(*args)
+    jax.tree.map(lambda a: np.asarray(a), state)  # sync through the tunnel
+    t0 = time.perf_counter()
+    carry = state
+    for _ in range(iters):
+        carry = run(carry, *args[1:])
+    jax.tree.map(lambda a: np.asarray(a), carry)
+    return (time.perf_counter() - t0) / iters, carry
+
+
+def train_metrics():
+    """Training-step throughput (VERDICT r3 #5): the LoRA step at the
+    largest decoder that fits one chip, and the CTVIS (panoptic) step at
+    R50/736x1280 — step time, tokens|imgs per second, and MFU from the
+    compiled cost analysis against the v5e bf16 peak.
+
+    The reference's budgets are 1-epoch QLoRA (batch 4 x accum 4, seq 2048,
+    README) and 100k CTVIS iters at IMS_PER_BATCH 1, frames 10
+    (CTVIS_r50.yaml:11-27); a 16 GB chip cannot hold bf16-7B base + LoRA
+    effective-weight copies, so the LoRA ladder steps down until a rung
+    fits and the rung is named in the output."""
+    import dataclasses as dc
+    import gc
+
+    from mmor_tpu.train import trainer as tr
+    from mmor_tpu.train.lora import LoraConfig
+
+    out = {}
+
+    # ---- MM2SG LoRA step ladder ------------------------------------------
+    def lora_rung(cfg, tag, batch_size, seq):
+        model = MM2SG(cfg)
+        batch = _example_batch(cfg, batch=batch_size, prompt_len=seq,
+                               key=jax.random.PRNGKey(0))
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(1), batch["input_ids"],
+                batch["attention_mask"], batch["images"], batch["view_mask"],
+                pc_feature=batch["pc_feature"],
+                audio_embedding=batch["audio_embedding"],
+                segmasks=batch["segmasks"]))
+        params = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+        from mmor_tpu.sg.prompts import IGNORE_INDEX
+
+        ids = batch["input_ids"]
+        batch["labels"] = jnp.where(jnp.arange(seq)[None] < seq // 4,
+                                    IGNORE_INDEX, ids)
+        tx = tr.make_optimizer(tr.TrainConfig(total_steps=100))
+        step_fn, state = tr.make_lora_train_step(
+            model, tx, LoraConfig(), params)
+        jitted = jax.jit(step_fn, donate_argnums=(0,))
+        run = lambda st, b: jitted(st, b)[0]
+        flops = _flops_of(jitted, state, batch)  # before donation eats state
+        dt, _ = _time_step(run, state, batch)
+        toks = batch_size * (seq + cfg.num_multimodal_tokens)
+        r = {
+            "train_lora_rung": tag,
+            "train_lora_step_ms": round(dt * 1e3, 1),
+            "train_lora_tokens_per_sec": round(toks / dt, 1),
+        }
+        if flops:
+            r["train_lora_mfu_vs_v5e_peak"] = round(
+                flops / dt / V5E_PEAK_BF16_FLOPS, 4)
+        return r
+
+    rungs = [
+        ("7b_b1_s512", _preset("7b"), 1, 512),
+        ("7b16L_b2_s1024", dc.replace(
+            _preset("7b"),
+            llama=dc.replace(_preset("7b").llama, n_layers=16)), 2, 1024),
+        ("small_b8_s512", _preset("small"), 8, 512),
+    ]
+    for tag, cfg, b, s in rungs:
+        try:
+            out.update(lora_rung(cfg, tag, b, s))
+            break
+        except Exception as e:
+            out["train_lora_rung_" + tag] = f"failed: {type(e).__name__}"[:80]
+            gc.collect()
+            jax.clear_caches()
+
+    # ---- CTVIS (panoptic) step ladder ------------------------------------
+    # resolution env-tunable for CPU smoke runs (default: reference test res)
+    res_h = int(os.environ.get("MMOR_TPU_BENCH_TRAIN_H", "736"))
+    res_w = int(os.environ.get("MMOR_TPU_BENCH_TRAIN_W", "1280"))
+
+    def ctvis_rung(t_frames):
+        from mmor_tpu.models.mask2former_decoder import MaskDecoderConfig
+        from mmor_tpu.models.meta_arch import DVISConfig, DVISPlus
+        from mmor_tpu.models.refiner import RefinerConfig
+        from mmor_tpu.models.segmenter import SegmenterConfig
+        from mmor_tpu.models.tracker import TrackerConfig
+        from mmor_tpu.train.criterion import CriterionConfig
+        from mmor_tpu.train.panoptic_trainer import (
+            PanopticTrainConfig,
+            make_panoptic_train_step,
+        )
+
+        bf = jnp.bfloat16
+        sampler = os.environ.get("MMOR_TPU_BENCH_SAMPLER", "gather")
+        cfg = DVISConfig(
+            segmenter=SegmenterConfig(decoder=MaskDecoderConfig(dtype=bf),
+                                      dtype=bf, sampler=sampler),
+            tracker=TrackerConfig(dtype=bf),
+            refiner=RefinerConfig(dtype=bf),
+        )
+        model = DVISPlus(cfg)
+        h, w, n = res_h, res_w, 5
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, h, w, 3)), num_frames=1,
+                               with_refiner=False))
+        params = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+        rng = np.random.default_rng(0)
+        masks = np.zeros((1, n, t_frames, h // 4, w // 4), np.float32)
+        masks[:, 0, :, :40] = 1.0
+        labels = np.zeros((1, n), np.int32)
+        labels[:, 0] = 1
+        valid = np.zeros((1, n), bool)
+        valid[:, 0] = True
+        batch = {
+            "images": jnp.asarray(
+                rng.standard_normal((t_frames, h, w, 3)), jnp.float32),
+            "targets": {"labels": jnp.asarray(labels),
+                        "masks": jnp.asarray(masks),
+                        "valid": jnp.asarray(valid)},
+        }
+        tcfg = PanopticTrainConfig(stage="ctvis", criterion=CriterionConfig())
+        step_fn, state, _ = make_panoptic_train_step(model, tcfg, params)
+        jitted = jax.jit(step_fn, donate_argnums=(0,))
+        run = lambda st, b, k: jitted(st, b, k)[0]
+        key = jax.random.PRNGKey(3)
+        flops = _flops_of(jitted, state, batch, key)
+        dt, _ = _time_step(run, state, batch, key)
+        r = {
+            "train_ctvis_rung": f"r50_{h}x{w}_t{t_frames}",
+            "train_ctvis_step_ms": round(dt * 1e3, 1),
+            "train_ctvis_imgs_per_sec": round(t_frames / dt, 2),
+        }
+        if flops:
+            r["train_ctvis_mfu_vs_v5e_peak"] = round(
+                flops / dt / V5E_PEAK_BF16_FLOPS, 4)
+        return r
+
+    for t_frames in (5, 3, 2):
+        try:
+            out.update(ctvis_rung(t_frames))
+            break
+        except Exception as e:
+            out[f"train_ctvis_rung_t{t_frames}"] = (
+                f"failed: {type(e).__name__}"[:80])
+            gc.collect()
+            jax.clear_caches()
+    return out
+
+
 def run_once(preset, quant, fused, mega, wbits, kvbits, batch_size,
              new_tokens, prompt_len, raw, mode):
     """Build + warm + time one configuration; returns (fps, tag)."""
@@ -379,6 +554,15 @@ def main():
                         f"{type(e2).__name__}: {e2}"[:200])
             else:
                 extra["panoptic_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if env("MMOR_TPU_BENCH_TRAIN", "1") == "1" and preset == "7b":
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        try:
+            extra.update(train_metrics())
+        except Exception as e:  # throughput extras never kill the headline
+            extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": f"mm2sg_{preset}_{tag}_b{batch_size}_e2e_frames_per_sec_per_chip",
