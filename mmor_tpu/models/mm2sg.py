@@ -391,9 +391,13 @@ def generate_stepwise(
             lm, lm_params, logits, cache, max_new_tokens,
             eos_token_id=eos_token_id, step_fn=step_fn,
         )
-    if model.cfg.llama.kv_quant:
+    bsz = batch["input_ids"].shape[0]
+    if (model.cfg.llama.kv_quant
+            and final_cache["kv_mask"].shape[0] == bsz):
         recycled = (final_cache["k"], final_cache["k_s"],
                     final_cache["v"], final_cache["v_s"])
     else:
-        recycled = None  # unquantized prefill allocates in-program
+        # unquantized prefill allocates in-program; an EOS-compacted mega
+        # cache shrank its batch axis and can't seed the next prefill
+        recycled = None
     return tokens, recycled

@@ -1520,6 +1520,24 @@ class MegaServer:
         return self._steps[key]
 
 
+_COMPACT_AXES = {"k": 1, "v": 1, "k_s": 2, "v_s": 2, "kv_mask": 0,
+                 "tok_pos": 0}
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def compact_cache(cache: dict, lane_idx: jax.Array) -> dict:
+    """Gather the live batch lanes out of a (donated) decode cache.
+
+    ``lane_idx`` (new_batch,) int32 indexes the CURRENT lane axis; pad
+    entries may repeat a live lane (their outputs are discarded by the
+    host loop). new_batch must satisfy the kernel's batch % 8 == 0."""
+    return {
+        k: (jnp.take(v, lane_idx, axis=_COMPACT_AXES[k])
+            if k in _COMPACT_AXES else v)
+        for k, v in cache.items()
+    }
+
+
 def greedy_decode_hostloop_mega(
     server: MegaServer,
     prompt_logits: jax.Array,
@@ -1527,25 +1545,60 @@ def greedy_decode_hostloop_mega(
     max_new_tokens: int,
     *,
     eos_token_id: int,
+    compact: bool = True,
+    compact_every: int = 64,
 ):
     """Greedy decode via one megakernel call per token (host-driven,
-    donated cache). Semantics match models/llama.greedy_decode_hostloop."""
+    donated cache). Semantics match models/llama.greedy_decode_hostloop.
+
+    Per-sequence EOS early-exit (the reference decodes all 300 tokens in
+    lockstep, `main.py:55-60` / HF generate stops only when the WHOLE
+    batch finishes): every ``compact_every`` steps the finished rows are
+    dropped and the live lanes re-packed into the smallest 8-multiple
+    batch bucket, so finished sequences stop paying decode bandwidth. The
+    kernel is row-independent (per-row attention, per-(row, chunk)
+    activation quantization), so surviving rows' tokens are bit-identical
+    to the uncompacted walk (tests/test_mega_decode.py pins this). The
+    one-off lane gather costs about one decode step; each bucket's step
+    compiles once per process and is reused across generations."""
     batch = prompt_logits.shape[0]
     # layout-independent capacity (the int4 K stack's last dim is T/2)
     t_cap = cache["kv_mask"].shape[1]
     step = server.step_for(batch, t_cap)
     tok = jnp.argmax(prompt_logits[:, -1, :], axis=-1).astype(jnp.int32)
-    toks = [tok]
-    for i in range(max_new_tokens - 1):
-        tok, cache = step(server.head, server.tapes, cache, tok[:, None])
-        toks.append(tok)
-        if eos_token_id >= 0 and (i + 1) % 64 == 0:
-            if bool(np.all(np.asarray(tok) == eos_token_id)):
-                break
-    out = np.asarray(jnp.stack(toks, axis=1))
-    if out.shape[1] < max_new_tokens:
-        out = np.pad(out, ((0, 0), (0, max_new_tokens - out.shape[1])),
-                     constant_values=eos_token_id)
+
+    fill = eos_token_id if eos_token_id >= 0 else 0
+    out = np.full((batch, max_new_tokens), fill, np.int32)
+    cur_rows = np.arange(batch)  # original row of each real lane
+    seg_start = 0
+    toks_seg = [tok]
+    for i in range(1, max_new_tokens + 1):
+        if i < max_new_tokens:
+            tok, cache = step(server.head, server.tapes, cache, tok[:, None])
+            toks_seg.append(tok)
+        boundary = (eos_token_id >= 0 and i % compact_every == 0)
+        if i < max_new_tokens and not boundary:
+            continue
+        # sync the segment out (one host round-trip per compact_every)
+        seg = np.asarray(jnp.stack(toks_seg, axis=1))[: len(cur_rows)]
+        out[cur_rows[:, None],
+            seg_start + np.arange(seg.shape[1])[None]] = seg
+        seg_start += seg.shape[1]
+        toks_seg = []
+        if i >= max_new_tokens:
+            break
+        done = (out[:, :seg_start] == eos_token_id).any(axis=1)
+        if done.all():
+            break
+        lane_live = np.nonzero(~done[cur_rows])[0]
+        bucket = max(8, -(-len(lane_live) // 8) * 8)
+        if compact and bucket < len(cur_rows):
+            pad = np.full(bucket - len(lane_live), lane_live[0])
+            gidx = jnp.asarray(np.concatenate([lane_live, pad]), jnp.int32)
+            cache = compact_cache(cache, gidx)
+            tok = jnp.take(tok, gidx, axis=0)
+            cur_rows = cur_rows[lane_live]
+            step = server.step_for(bucket, t_cap)
     for b in range(batch):
         hits = np.nonzero(out[b] == eos_token_id)[0]
         if hits.size:

@@ -656,3 +656,119 @@ def test_mega_generate_stepwise_kernel_interpret(kv_bits):
         max_new_tokens=n_new, eos_token_id=-1, step_fn=server)
     np.testing.assert_array_equal(np.asarray(kern_toks),
                                   np.asarray(ref_toks))
+
+
+@pytest.mark.parametrize("batch,rg,nb8", [(48, 24, 2), (64, 32, 2)])
+def test_mega_b48_b64_geometry_matches_reference(batch, rg, nb8):
+    """Ladder-extension geometries for the 4.65 f/s push: b48 (rg=24,
+    nb8=2) and b64 (rg=32) walk FATTER attention row-groups than b40's
+    rg=8 x 5 — fewer fixed-cost grid steps per token. int4 W + int4 KV,
+    interpret vs the reference."""
+    cfg = LlamaConfig(
+        vocab_size=128, dim=512, n_layers=1, n_heads=4, n_kv_heads=4,
+        ffn_dim=1024, max_seq_len=64, dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16, weight_quant=True, kv_quant=True,
+        fused_qkv=True, weight_bits=4, kv_bits=4, weight_group=256,
+    )
+    geo = md.MegaGeometry.from_config(cfg, batch=batch, t_cap=64)
+    assert geo.rg == rg and geo.nb8 == nb8 and geo.bp == 64
+    blocks = _random_int4_blocks(jax.random.PRNGKey(31), cfg, geo)
+    tapes = md.build_tapes(blocks, geo)
+    cache = _random_int4_cache(jax.random.PRNGKey(32), geo,
+                               prefix=geo.t_cap - 8)
+    x = jax.random.normal(jax.random.PRNGKey(33), (geo.batch, cfg.dim),
+                          jnp.bfloat16) * 0.3
+    cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
+
+    got = md.mega_decode_layers(x, tapes, cache, cos, sin, geo,
+                                interpret=True)
+    ref = md.mega_decode_layers_reference(x, tapes, cache, cos, sin, geo)
+    for name, a, b2 in zip(["x", "knew", "knew_s", "vnew", "vnew_s"],
+                           ref, got):
+        a = np.asarray(a, np.float32)
+        b2 = np.asarray(b2, np.float32)
+        if name in ("knew", "vnew"):
+            assert (np.abs(a - b2) <= 1).mean() == 1.0, name
+        else:
+            l2 = np.linalg.norm(a - b2) / (np.linalg.norm(a) + 1e-9)
+            assert l2 < 0.02, (name, l2)
+
+
+def test_mega_eos_compaction_matches_lockstep():
+    """Per-sequence EOS early-exit (batch compaction): finished rows drop
+    out of the decode walk and the survivors' tokens stay IDENTICAL to the
+    uncompacted lockstep walk (the kernel is row-independent). The
+    reference can only stop when the whole batch finishes."""
+    import dataclasses
+
+    from mmor_tpu.config import MM2SGConfig
+    from mmor_tpu.models.llama import fuse_llama_params, quantize_llama_params
+    from mmor_tpu.models.mm2sg import (
+        MM2SG,
+        alloc_cache_buffers,
+        make_prefill,
+    )
+
+    cfg0 = MM2SGConfig.tiny()
+    qcfg = dataclasses.replace(
+        cfg0, llama=dataclasses.replace(
+            cfg0.llama, weight_quant=True, kv_quant=True, fused_qkv=True,
+            mega_decode=True))
+    b, t, n_new, cache_len = 16, 16, 12, 64
+    size = cfg0.vision.image_size
+    key = jax.random.PRNGKey(0)
+    # two distinct rows tiled x8: identical rows emit identical streams, so
+    # row 0's EOS retires a whole 8-row bucket and compaction must fire
+    batch = {
+        "input_ids": jnp.repeat(
+            jax.random.randint(key, (2, t), 3, cfg0.llama.vocab_size),
+            8, axis=0),
+        "attention_mask": jnp.ones((b, t), jnp.int32),
+        "images": jnp.repeat(
+            jax.random.normal(key, (2, cfg0.pooler.max_views, size,
+                                    size, 3)), 8, axis=0),
+        "view_mask": jnp.ones((b, cfg0.pooler.max_views), jnp.int32),
+    }
+    batch["input_ids"] = batch["input_ids"].at[:, 2].set(-200)
+    model0 = MM2SG(cfg0)
+    params0 = model0.init(
+        jax.random.PRNGKey(1), batch["input_ids"], batch["attention_mask"],
+        batch["images"], batch["view_mask"])
+    lm_q = quantize_llama_params(
+        fuse_llama_params({"params": params0["params"]["language_model"]})
+    )["params"]
+    qparams = {"params": dict(params0["params"], language_model=lm_q)}
+    qmodel = MM2SG(qcfg)
+
+    prefill = make_prefill(qmodel, max_cache_len=cache_len)
+    server = md.MegaServer(qcfg.llama,
+                           {"params": qparams["params"]["language_model"]})
+
+    def decode(eos, **kw):
+        bufs = alloc_cache_buffers(qcfg, b, cache_len)
+        logits, cache = prefill(qparams, batch, bufs)
+        toks, _ = md.greedy_decode_hostloop_mega(
+            server, logits, cache, n_new, eos_token_id=eos, **kw)
+        return np.asarray(toks)
+
+    full = decode(-1)
+    # pick an EOS some rows emit early: row 0's token at column 3
+    eos = int(full[0, 3])
+    hit_rows = (full[:, :6] == eos).any(axis=1).sum()
+    assert hit_rows >= 1
+
+    # expected = lockstep streams with the tail-fill semantics
+    want = full.copy()
+    for r in range(b):
+        hits = np.nonzero(want[r] == eos)[0]
+        if hits.size:
+            want[r, hits[0]:] = eos
+
+    got = decode(eos, compact=True, compact_every=4)
+    np.testing.assert_array_equal(got, want)
+    # compaction really fired: a smaller bucket's step was compiled
+    assert any(bk < b for bk, _ in server._steps), server._steps.keys()
+
+    # and with compaction off, the every-compact_every EOS sync still works
+    got2 = decode(eos, compact=False, compact_every=4)
+    np.testing.assert_array_equal(got2, want)
