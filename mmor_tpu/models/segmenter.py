@@ -31,7 +31,7 @@ PIXEL_STD = (58.395, 57.12, 57.375)
 @dataclass(frozen=True)
 class SegmenterConfig:
     decoder: MaskDecoderConfig = field(default_factory=MaskDecoderConfig)
-    backbone: str = "resnet50"  # resnet50 | swin_t | swin_b | vit_adapter
+    backbone: str = "resnet50"  # resnet50 | swin_t | swin_s | swin_b | vit_adapter
     conv_dim: int = 256
     mask_dim: int = 256
     pixel_decoder_layers: int = 6
@@ -67,13 +67,12 @@ class VideoSegmenter(nn.Module):
         cfg = self.cfg
         if cfg.backbone == "resnet50":
             self.backbone = ResNet50(cfg.dtype, cfg.param_dtype, name="backbone")
-        elif cfg.backbone in ("swin_t", "swin_b"):
+        elif cfg.backbone in ("swin_t", "swin_s", "swin_b"):
             from mmor_tpu.models.swin import SwinBackbone, SwinConfig
 
-            swin_cfg = (SwinConfig.swin_t if cfg.backbone == "swin_t"
-                        else SwinConfig.swin_b)(
-                dtype=cfg.dtype, param_dtype=cfg.param_dtype
-            )
+            preset = {"swin_t": SwinConfig.swin_t, "swin_s": SwinConfig.swin_s,
+                      "swin_b": SwinConfig.swin_b}[cfg.backbone]
+            swin_cfg = preset(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
             self.backbone = SwinBackbone(swin_cfg, name="backbone")
         elif cfg.backbone == "vit_adapter":
             from mmor_tpu.models.vit_adapter import (
