@@ -206,7 +206,8 @@ def train_metrics():
             out.update(lora_rung(cfg, tag, b, s))
             break
         except Exception as e:
-            out["train_lora_rung_" + tag] = f"failed: {type(e).__name__}"[:80]
+            out["train_lora_rung_" + tag] = (
+                f"failed: {type(e).__name__}: {e}".replace("\n", " ")[:300])
             gc.collect()
             jax.clear_caches()
 
@@ -280,7 +281,7 @@ def train_metrics():
             break
         except Exception as e:
             out[f"train_ctvis_rung_t{t_frames}"] = (
-                f"failed: {type(e).__name__}"[:80])
+                f"failed: {type(e).__name__}: {e}".replace("\n", " ")[:300])
             gc.collect()
             jax.clear_caches()
     return out

@@ -234,9 +234,13 @@ class LlamaBlock(nn.Module):
                 caches = (at(k_stack, k_q), at_s(ks_stack, k_s),
                           at(v_stack, v_q), at_s(vs_stack, v_s))
             elif cfg.kv_quant:
-                assert not (cfg.mega_decode and cfg.kv_bits == 4), (
-                    "int4 mega caches pack against the full capacity — "
-                    "serve through make_prefill's donated buffers")
+                # No capacity stacks (plain scoring forward, or model.init's
+                # shape trace): emit int8-format per-layer stacks. int4-mega
+                # SERVING always lands in the capacity branch above (both
+                # make_prefill's donated buffers and the in-program
+                # prefill_pad_to fallback allocate int4-shaped stacks);
+                # build_cache rejects this int8-format output for int4-mega
+                # rather than mis-building a cache from it.
                 k_q, k_s = quantize_kv(k)
                 if cfg.mega_decode:
                     from mmor_tpu.ops.mega_decode import quantize_kv_tmajor
@@ -374,10 +378,18 @@ class LlamaModel(nn.Module):
                 # temp appears; pass DONATED prefill_cache_buffers from the
                 # engine to avoid it, see make_prefill)
                 d4 = cfg.head_dim // 4
-                shape = (cfg.n_layers, batch, cfg.n_heads, d4, prefill_pad_to)
-                vshape = ((cfg.n_layers, batch, cfg.n_heads,
-                           prefill_pad_to // 4, cfg.head_dim)
-                          if cfg.mega_decode else shape)
+                if cfg.mega_decode and cfg.kv_bits == 4:
+                    # T-halved nibble layouts, mirrors mm2sg.alloc_cache_buffers
+                    shape = (cfg.n_layers, batch, cfg.n_heads, d4,
+                             prefill_pad_to // 2)
+                    vshape = (cfg.n_layers, batch, cfg.n_heads,
+                              prefill_pad_to // 8, cfg.head_dim)
+                else:
+                    shape = (cfg.n_layers, batch, cfg.n_heads, d4,
+                             prefill_pad_to)
+                    vshape = ((cfg.n_layers, batch, cfg.n_heads,
+                               prefill_pad_to // 4, cfg.head_dim)
+                              if cfg.mega_decode else shape)
                 sshape = ((cfg.n_layers, cfg.n_heads, batch, prefill_pad_to)
                           if cfg.mega_decode
                           else (cfg.n_layers, batch, cfg.n_heads,
@@ -447,6 +459,13 @@ def build_cache(
     if cfg.kv_quant and cfg.mega_decode and cfg.kv_bits == 4:
         # int4 K stacks are T-HALVED (dh/4, T/2) words and always arrive at
         # capacity (the prefill packs against it) -> pad must resolve to 0
+        if (prefill_kv[0].shape[-1] * 2 != max_len
+                or prefill_kv[2].shape[3] * 8 != max_len):
+            raise ValueError(
+                "int4 mega caches pack against the full capacity during "
+                "prefill — run with prefill_pad_to=max_len (generate_stepwise "
+                "/ make_prefill do this); got non-capacity stacks "
+                f"{prefill_kv[0].shape} for max_len={max_len}")
         cur *= 2
     pad = max_len - cur
     kv_mask = jnp.pad(attention_mask.astype(jnp.int32),

@@ -778,11 +778,18 @@ def _mega_kernel(
                 vw = vq_ref[0, :, 0]                    # (rg, T/8, dh)
                 vlo = pltpu.bitcast(vw & 0x0F0F0F0F, jnp.int8)
                 vhi = pltpu.bitcast((vw >> 4) & 0x0F0F0F0F, jnp.int8)
+                # slice-then-expand: the fused `w8[:, None, :half_t]`
+                # form lowers through rewriting_take -> gather, which
+                # Mosaic's gather rule rejects (shape-mismatch at compile;
+                # interpret mode hid it). slice_in_dim + [:, None, :]
+                # stays on the lax.slice/broadcast path the int8 arm uses.
+                w8lo = jax.lax.slice_in_dim(w8, 0, half_t, axis=1)
+                w8hi = jax.lax.slice_in_dim(w8, half_t, g.t_cap, axis=1)
                 ov = (jax.lax.dot_general(
-                        w8[:, None, :half_t], vlo, bdims,
+                        w8lo[:, None, :], vlo, bdims,
                         preferred_element_type=jnp.int32)
                       + jax.lax.dot_general(
-                        w8[:, None, half_t:], vhi, bdims,
+                        w8hi[:, None, :], vhi, bdims,
                         preferred_element_type=jnp.int32))[:, 0].astype(f32)
                 wsum = jnp.sum(w8.astype(f32), axis=1, keepdims=True)
                 ov = (ov - 8.0 * wsum) * wrs             # (rg, dh)
@@ -1215,35 +1222,27 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
     b = g.batch
     ck = g.ck
     un = untile_tapes(tapes, g)
+    # Weights dequantize PER LAYER inside the loop below (lazy getters):
+    # up-front unpacking materializes the full f32 stack (~26 GB at 7B),
+    # which fit on CPU but OOMed the on-chip generation check. Per-layer
+    # temps are ~0.4 GB and XLA frees each after its layer consumes it.
     if g.wbits == 4:
         from mmor_tpu.ops.quantized_matmul import unpack_int4_rows
 
-        def dq4(entry):
-            """int4 entry -> fully dequantized f32 weights + unit colscale
-            (the per-chunk scale folds into the weights; the kernel folds
-            it per accumulation step — identical up to f32 rounding)."""
+        def dq_layer(entry, li):
+            """layer li of an int4 entry -> dequantized f32 weights + unit
+            colscale (the per-chunk scale folds into the weights; the kernel
+            folds it per accumulation step — identical up to f32 rounding)."""
             wp, sc = entry
-            wv = jax.vmap(lambda p: unpack_int4_rows(p, block=ck)
-                          )(wp).astype(f32)
-            kdim, n = wv.shape[1], wv.shape[2]
-            wv = (wv.reshape(g.n_layers, kdim // ck, ck, n)
-                  * sc[:, :, None, :]).reshape(g.n_layers, kdim, n)
-            return wv, jnp.ones((g.n_layers, n), f32)
-
-        w_qkv, s_qkv = dq4(un["qkv_proj"])
-        w_gu, s_gu = dq4(un["gate_up_interleaved"])
-        w_o, s_o = dq4(un["o_proj"])
-        w_dn, s_dn = dq4(un["down_proj"])
+            wv = unpack_int4_rows(wp[li], block=ck).astype(f32)
+            kdim, n = wv.shape
+            wv = (wv.reshape(kdim // ck, ck, n)
+                  * sc[li][:, None, :]).reshape(kdim, n)
+            return wv, jnp.ones((n,), f32)
     else:
-        w_qkv = jax.vmap(unpack_int8_rows)(un["qkv_proj"][0]).astype(f32)
-        s_qkv = un["qkv_proj"][1]
-        w_gu = jax.vmap(unpack_int8_rows)(
-            un["gate_up_interleaved"][0]).astype(f32)
-        s_gu = un["gate_up_interleaved"][1]
-        w_o = jax.vmap(unpack_int8_rows)(un["o_proj"][0]).astype(f32)
-        s_o = un["o_proj"][1]
-        w_dn = jax.vmap(unpack_int8_rows)(un["down_proj"][0]).astype(f32)
-        s_dn = un["down_proj"][1]
+        def dq_layer(entry, li):
+            wp, sc = entry
+            return unpack_int8_rows(wp[li]).astype(f32), sc[li]
     norms = tapes["norms"].reshape(g.n_layers, 2, g.dim)
 
     from mmor_tpu.ops.attention import unpack_kv_heads
@@ -1289,9 +1288,13 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
     x = x.astype(f32)
     knews, knew_ss, vnews, vnew_ss = [], [], [], []
     for li in range(g.n_layers):
+        w_qkv_li, s_qkv_li = dq_layer(un["qkv_proj"], li)
+        w_gu_li, s_gu_li = dq_layer(un["gate_up_interleaved"], li)
+        w_o_li, s_o_li = dq_layer(un["o_proj"], li)
+        w_dn_li, s_dn_li = dq_layer(un["down_proj"], li)
         hvar = jnp.mean(x * x, axis=-1, keepdims=True)
         h = x * jax.lax.rsqrt(hvar + eps) * norms[li, 0]
-        qkv = mm_quant(h, w_qkv[li], s_qkv[li])
+        qkv = mm_quant(h, w_qkv_li, s_qkv_li)
         q, k, v = jnp.split(qkv, 3, axis=1)
         q, k = rope(q), rope(k)
         q8, qs = _quant_rows_ref((q * sm_scale).reshape(b, g.n_heads,
@@ -1325,17 +1328,17 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
         dh = g.head_dim
         acc = jnp.zeros((b, g.dim), f32)
         for h in range(g.n_heads):
-            acc = acc + (a8[:, h] @ w_o[li][h * dh:(h + 1) * dh]) * ars[:, h]
-        x2 = x + acc * s_o[li][None, :]
+            acc = acc + (a8[:, h] @ w_o_li[h * dh:(h + 1) * dh]) * ars[:, h]
+        x2 = x + acc * s_o_li[None, :]
         h2var = jnp.mean(x2 * x2, axis=-1, keepdims=True)
         h2 = x2 * jax.lax.rsqrt(h2var + eps) * norms[li, 1]
-        gu = mm_quant(h2, w_gu[li], s_gu[li])  # interleaved [g_j|u_j]
+        gu = mm_quant(h2, w_gu_li, s_gu_li)  # interleaved [g_j|u_j]
         half_b = g.bna // 2
         gui = gu.reshape(b, -1, 2, half_b)
         gate = gui[:, :, 0].reshape(b, g.ffn)
         up = gui[:, :, 1].reshape(b, g.ffn)
         m = gate * jax.nn.sigmoid(gate) * up
-        x = x2 + mm_quant(m, w_dn[li], s_dn[li])
+        x = x2 + mm_quant(m, w_dn_li, s_dn_li)
 
     return (x.astype(jnp.bfloat16),
             jnp.stack(knews).astype(jnp.int8), jnp.stack(knew_ss),

@@ -46,11 +46,30 @@ def main():
     want = mha_reference(q, k, v, segment_ids=seg)
     ok &= check("flash segment-ids", got, want, 8e-3)
 
-    ok &= extra_checks()
-    ok &= sampler_checks()
-    ok &= mega_checks()
-    ok &= mega_int4_checks()
-    ok &= mega_generation_checks()
+    # Each group runs independently: a compile failure in one kernel must
+    # not block measuring the others (round-3 lesson — the sampler's Mosaic
+    # error aborted the whole on-chip suite before the mega floors ran).
+    # MMOR_TPU_CHECKS_SKIP=sampler,mega ... skips groups by name.
+    import os
+    import traceback
+
+    skip = set(filter(None, os.environ.get("MMOR_TPU_CHECKS_SKIP", "").split(",")))
+    for name, fn in [
+        ("extra", extra_checks),
+        ("sampler", sampler_checks),
+        ("mega", mega_checks),
+        ("mega_int4", mega_int4_checks),
+        ("mega_generation", mega_generation_checks),
+    ]:
+        if name in skip:
+            print(f"[SKIP] {name}_checks (MMOR_TPU_CHECKS_SKIP)")
+            continue
+        try:
+            ok &= fn()
+        except Exception:
+            print(f"[FAIL] {name}_checks raised:")
+            traceback.print_exc()
+            ok = False
     print("ALL OK" if ok else "FAILURES")
     raise SystemExit(0 if ok else 1)
 

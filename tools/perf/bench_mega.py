@@ -118,29 +118,32 @@ def main():
                           jnp.bfloat16) * 0.3
     cos, sin = md.rope_tables(cache["tok_pos"], cfg.head_dim, cfg.rope_theta)
 
-    def once(x):
+    # tapes/cache are ARGUMENTS, not closure constants: jit constants get
+    # serialized INTO the axon remote-compile request body (HTTP 413 at
+    # 0.8 GB; device buffers passed as args go by handle)
+    def once(x, tapes, cache):
         out = md.mega_decode_layers(x, tapes, cache, cos, sin, geo)
         return out[0]
 
-    jfn = jax.jit(lambda x: once(x).astype(jnp.float32).sum())
+    jfn = jax.jit(lambda x, t, c: once(x, t, c).astype(jnp.float32).sum())
     t0 = time.perf_counter()
     print("compiling...", flush=True)
-    v0 = np.asarray(jfn(x))
+    v0 = np.asarray(jfn(x, tapes, cache))
     print(f"compiled+ran in {time.perf_counter()-t0:.1f}s  out={v0:.4f}",
           flush=True)
 
-    def chained(x):
+    def chained(x, tapes, cache):
         def body(i, acc):
             xp = x + (acc * 1e-38).astype(x.dtype)
-            return jax.jit(once)(xp).astype(jnp.float32).sum()
+            return once(xp, tapes, cache).astype(jnp.float32).sum()
         return jax.lax.fori_loop(0, REPEATS, body, jnp.zeros((), jnp.float32))
 
     cfn = jax.jit(chained)
-    np.asarray(cfn(x))
+    np.asarray(cfn(x, tapes, cache))
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        np.asarray(cfn(x))
+        np.asarray(cfn(x, tapes, cache))
     dt = (time.perf_counter() - t0) / iters / REPEATS
     bw = (wbytes + kvbytes) / dt / 1e9
     per32 = dt * 32 / L

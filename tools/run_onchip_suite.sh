@@ -27,8 +27,14 @@ print("relay ports closed — tunnel down"); sys.exit(2)
 EOF
 
 step "1. kernel numerics on-chip (flash, packed matmuls, sampler, mega int8+int4)"
-timeout 1800 python tests/tpu/run_tpu_checks.py 2>&1 | tee "$OUT/checks.log"
-grep -q "ALL OK" "$OUT/checks.log" || { echo "CHECKS FAILED — stop"; exit 1; }
+timeout 2400 python tests/tpu/run_tpu_checks.py 2>&1 | tee "$OUT/checks.log"
+if grep -q "ALL OK" "$OUT/checks.log"; then
+  CHECKS=ok
+else
+  # Measurements still matter when one kernel misbehaves — mark and go on.
+  CHECKS=failed
+  echo "CHECKS FAILED — continuing to measurements anyway (see $OUT/checks.log)"
+fi
 
 if [ "${1:-}" != "quick" ]; then
   step "2. megakernel floors (ms/token at serving geometry, 4-layer probe)"
@@ -53,4 +59,4 @@ for s in pallas gather; do
     timeout 2400 python bench.py 2>&1 | tee "$OUT/panoptic_$s.log"
 done
 
-step "done — logs in $OUT/"
+step "done — logs in $OUT/ (checks: $CHECKS)"
