@@ -202,12 +202,17 @@ def train_metrics():
         ("small_b8_s512", _preset("small"), 8, 512),
     ]
     for tag, cfg, b, s in rungs:
+        failed = False
         try:
             out.update(lora_rung(cfg, tag, b, s))
             break
         except Exception as e:
             out["train_lora_rung_" + tag] = (
                 f"failed: {type(e).__name__}: {e}".replace("\n", " ")[:300])
+            failed = True
+        if failed:
+            # outside the except block: e.__traceback__ pins the rung's
+            # frames (params, optimizer state) until the handler exits
             gc.collect()
             jax.clear_caches()
 
@@ -276,15 +281,51 @@ def train_metrics():
         return r
 
     for t_frames in (5, 3, 2):
+        failed = False
         try:
             out.update(ctvis_rung(t_frames))
             break
         except Exception as e:
             out[f"train_ctvis_rung_t{t_frames}"] = (
                 f"failed: {type(e).__name__}: {e}".replace("\n", " ")[:300])
+            failed = True
+        if failed:
             gc.collect()
             jax.clear_caches()
     return out
+
+
+def _train_metrics_isolated():
+    """Run train_metrics() in a fresh interpreter and merge its JSON.
+
+    After the big serving ladder, buffer frees through the axon tunnel are
+    not reliably synchronous: round 4 measured every in-process training
+    rung RESOURCE_EXHAUSTED right after a successful headline run even
+    though the small rungs fit a clean chip easily. A subprocess gets a
+    fresh backend and therefore a clean HBM arena."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["MMOR_TPU_BENCH_TRAIN_ONLY"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            timeout=float(os.environ.get("MMOR_TPU_BENCH_TRAIN_TIMEOUT",
+                                         "1800")),
+        )
+    except subprocess.TimeoutExpired:
+        return {"train_error": "train-metrics subprocess timed out"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return {"train_error": ("subprocess rc=%d: %s" % (
+        proc.returncode, " | ".join(tail[-3:])))[:300]}
 
 
 def run_once(preset, quant, fused, mega, wbits, kvbits, batch_size,
@@ -456,6 +497,11 @@ def _preflight_tunnel():
 def main():
     _preflight_tunnel()
     env = os.environ.get
+    if env("MMOR_TPU_BENCH_TRAIN_ONLY") == "1":
+        # subprocess mode (see _train_metrics_isolated): print ONLY the
+        # train-metrics JSON and exit
+        print(json.dumps(train_metrics()))
+        return
     preset = env("MMOR_TPU_BENCH_PRESET", "7b")
     quant = env("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
     new_tokens = int(env("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
@@ -520,10 +566,12 @@ def main():
             ladder.append({**att, "result": f"ok {fps:.3f} f/s"})
             break
         except Exception as e:
-            reason = f"{type(e).__name__}: {e}"[:200]
+            # keep enough of the message to see the Mosaic/XLA root cause
+            # (the relay wraps it in an HTTP 500 body several lines deep)
+            reason = f"{type(e).__name__}: {e}".replace("\n", " ")[:600]
             ladder.append({**att, "result": f"failed: {reason}"})
             print(f"[bench] attempt {i} {att} failed: "
-                  f"{type(e).__name__}: {e}"[:400], file=sys.stderr)
+                  f"{type(e).__name__}: {e}"[:2000], file=sys.stderr)
             failed = True
         if failed:
             # cleanup OUTSIDE the except block: e.__traceback__ pins the
@@ -558,7 +606,7 @@ def main():
                 try:
                     extra.update(panoptic_metric())
                     extra["panoptic_sampler_fallback"] = (
-                        f"{type(e).__name__}"[:80])
+                        f"{type(e).__name__}: {e}".replace("\n", " ")[:300])
                 except Exception as e2:
                     extra["panoptic_error"] = (
                         f"{type(e2).__name__}: {e2}"[:200])
@@ -570,7 +618,7 @@ def main():
         gc.collect()
         jax.clear_caches()
         try:
-            extra.update(train_metrics())
+            extra.update(_train_metrics_isolated())
         except Exception as e:  # throughput extras never kill the headline
             extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
 

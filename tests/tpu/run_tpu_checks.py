@@ -4,7 +4,16 @@ Not collected by pytest (the suite pins JAX_PLATFORMS=cpu); this script runs on
 whatever accelerator is attached and compares each Pallas kernel against its
 XLA oracle.
 """
+import os as _os
+
 import jax
+
+# CPU smoke of the harness itself (the axon sitecustomize re-pins the
+# platform at interpreter start, so a plain JAX_PLATFORMS env var does not
+# take — same dance as tests/conftest.py / bench.py)
+if _os.environ.get("MMOR_TPU_CHECKS_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["MMOR_TPU_CHECKS_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,8 +25,7 @@ def check(name, got, want, atol):
     print(f"[{status}] {name}: max_abs_err={err:.3e} (atol={atol})")
     return err <= atol
 
-def main():
-    print("devices:", jax.devices())
+def flash_checks():
     ok = True
     key = jax.random.PRNGKey(0)
     for (b, h, sq, sk, d), causal, dtype, atol in [
@@ -45,24 +53,54 @@ def main():
     got = flash_attention(q, k, v, segment_ids=seg)
     want = mha_reference(q, k, v, segment_ids=seg)
     ok &= check("flash segment-ids", got, want, 8e-3)
+    return ok
 
-    # Each group runs independently: a compile failure in one kernel must
-    # not block measuring the others (round-3 lesson — the sampler's Mosaic
-    # error aborted the whole on-chip suite before the mega floors ran).
-    # MMOR_TPU_CHECKS_SKIP=sampler,mega ... skips groups by name.
+
+GROUPS = [
+    ("flash", flash_checks),
+    ("extra", lambda: extra_checks()),
+    ("sampler", lambda: sampler_checks()),
+    ("mega", lambda: mega_checks()),
+    ("mega_int4", lambda: mega_int4_checks()),
+    ("mega_generation", lambda: mega_generation_checks()),
+]
+
+
+def main():
+    # Each group runs in its OWN subprocess by default: a compile failure in
+    # one kernel must not block measuring the others (round-3 lesson), and —
+    # round-4 lesson — buffer frees through the axon tunnel are not reliably
+    # synchronous, so after a big group (or a failed compile, whose traceback
+    # pins its device buffers) every later in-process group can hit
+    # RESOURCE_EXHAUSTED on a chip that is actually empty. A fresh backend
+    # per group guarantees a clean HBM arena.
+    # MMOR_TPU_CHECKS_SKIP=sampler,mega ... skips groups by name;
+    # MMOR_TPU_CHECKS_ISOLATE=0 reverts to single-process (CPU smoke runs).
     import os
+    import subprocess
+    import sys
     import traceback
 
     skip = set(filter(None, os.environ.get("MMOR_TPU_CHECKS_SKIP", "").split(",")))
-    for name, fn in [
-        ("extra", extra_checks),
-        ("sampler", sampler_checks),
-        ("mega", mega_checks),
-        ("mega_int4", mega_int4_checks),
-        ("mega_generation", mega_generation_checks),
-    ]:
+    only = os.environ.get("MMOR_TPU_CHECKS_ONLY")
+    isolate = (os.environ.get("MMOR_TPU_CHECKS_ISOLATE", "1") == "1"
+               and only is None)
+    if not isolate:
+        print("devices:", jax.devices())
+    ok = True
+    for name, fn in GROUPS:
+        if only is not None and name != only:
+            continue
         if name in skip:
             print(f"[SKIP] {name}_checks (MMOR_TPU_CHECKS_SKIP)")
+            continue
+        if isolate:
+            env = dict(os.environ, MMOR_TPU_CHECKS_ONLY=name)
+            rc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                env=env).returncode
+            if rc != 0:
+                print(f"[FAIL] {name}_checks subprocess rc={rc}")
+                ok = False
             continue
         try:
             ok &= fn()
@@ -70,7 +108,8 @@ def main():
             print(f"[FAIL] {name}_checks raised:")
             traceback.print_exc()
             ok = False
-    print("ALL OK" if ok else "FAILURES")
+    if only is None:
+        print("ALL OK" if ok else "FAILURES")
     raise SystemExit(0 if ok else 1)
 
 
