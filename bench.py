@@ -529,26 +529,24 @@ def main():
         )]
     else:
         # Fastest-first ladder (fall through on OOM/compile failure):
-        #   1. megakernel decode, int4 weights + int4 KV, batch 48 (rg=24,
-        #      nb8=2: ~2k attention grid steps/token vs b40's ~6.4k at
-        #      rg=8 — the per-step fixed cost made rg the second-order
-        #      bottleneck after DMA; geometry interpret-verified in
-        #      tests/test_mega_decode.py)
-        #   2. same at batch 40 (rg=8, nb8=5)
-        #   3. same at batch 32 (rg=32: single attention row-group/head)
-        #   4. round-2 proven per-op stepwise int8 path, batch 20
+        #   1. megakernel decode, int4 weights + int4 KV, batch 40 —
+        #      measured 2.89 f/s on-chip (round 4); the proven top rung
+        #   2. same at batch 32 (rg=32: single attention row-group/head)
+        #   3. round-2 proven per-op stepwise int8 path, batch 20
         # The megakernel is one pallas call per token for all 32 layers
         # (ops/mega_decode.py) and is DMA-bound, so fewer bytes (int4
         # weights walked in place — ONE copy shared with prefill — and
-        # T-halved int4 KV) set the floor; estimated footprint at b48 is
-        # ~10.5 GB steady (3.3 GB weights + 6.4 GB KV) + prefill
-        # transients. b64 (rg=32, 8.6 GB KV) exceeds the 16 GB chip with
-        # prefill transients — probe with MMOR_TPU_BENCH_BATCH=64 if a
-        # bigger chip appears. Quality is gated by
-        # tests/test_generation_parity.py (int4 W >=0.97, int4 KV >=0.95
-        # greedy-token agreement vs bf16 at 128 steps on a trained model).
+        # T-halved int4 KV) set the floor. b48 was DROPPED from the ladder:
+        # round 4 measured it failing twice in fresh processes (AOT
+        # compile-helper crash, then RESOURCE_EXHAUSTED on the b48 prefill
+        # — 6.45 GB int4 KV + weights + raw frames + prefill transients
+        # exceed the 16 GB chip), and a permanently-failing first rung
+        # costs the driver minutes of compile before falling through.
+        # Probe b48/b64 with MMOR_TPU_BENCH_BATCH if a bigger chip
+        # appears. Quality is gated by tests/test_generation_parity.py
+        # (int4 W >=0.97, int4 KV >=0.95 greedy-token agreement vs bf16
+        # at 128 steps on a trained model).
         attempts = [
-            dict(mega=True, wbits=4, kvbits=4, batch_size=48),
             dict(mega=True, wbits=4, kvbits=4, batch_size=40),
             dict(mega=True, wbits=4, kvbits=4, batch_size=32),
             dict(mega=False, wbits=8, kvbits=8, batch_size=20),

@@ -39,11 +39,12 @@ class ClipFlashMHA(nn.Module):
             (cfg.n_heads, head_dim), dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name=name)
         tr = lambda t: t.transpose(0, 2, 1, 3)
-        # block 128: 577 tokens pad to 640 instead of 1024 (the padded q/k/v
-        # copies are the big prefill temps at high batch)
+        # auto blocks: 577 tokens run as ONE 640-row block per (image, head)
+        # — same padding as the old explicit 128 blocks, 25x fewer grid
+        # steps (the 112k-step grid ran at 4.8 TFLOP/s, ~77% of tower time)
         out = flash_attention(
             tr(dg("query")(x)), tr(dg("key")(x)), tr(dg("value")(x)),
-            causal=False, block_q=128, block_kv=128,
+            causal=False,
         ).transpose(0, 2, 1, 3)
         return nn.DenseGeneral(
             cfg.dim, axis=(-2, -1), dtype=cfg.dtype,

@@ -149,8 +149,11 @@ def _flash_forward(
 ) -> jax.Array:
     batch, heads, sq, head_dim = q.shape
     sk = k.shape[-2]
-    block_q = min(block_q, sq)
-    block_kv = min(block_kv, sk)
+    # clamp to the 128-padded seq (not raw seq): blocks stay lane/sublane
+    # aligned and a 708-row q still runs as one 768-row block
+    pad128 = lambda s: -(-s // 128) * 128
+    block_q = min(block_q, pad128(sq))
+    block_kv = min(block_kv, pad128(sk))
     sq_pad = pl.cdiv(sq, block_q) * block_q
     sk_pad = pl.cdiv(sk, block_kv) * block_kv
     if sq_pad != sq:
@@ -244,15 +247,29 @@ def flash_attention(
     segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
     sm_scale: float | None = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int | None = None,
+    block_kv: int | None = None,
 ) -> jax.Array:
     """Flash attention. Pallas kernel on TPU, XLA reference elsewhere.
 
     q: (B, H, Sq, D); k/v: (B, H, Sk, D); segment_ids: (B, Sq) int32 (queries)
     and optionally (B, Sk) for keys — attention only flows within equal
     segments. ``causal`` composes with segments.
+
+    ``block_q``/``block_kv`` default to AUTO: short sequences (<= 1024) run
+    as ONE 128-padded block per (batch, head) — the per-grid-step fixed cost
+    dominates small blocks on this chip (CLIP's (280x16, 577) attention at
+    block 128 was a 112k-step grid running at 4.8 TFLOP/s, ~77% of the
+    tower; one 640-block per head is a 4.5k-step grid) — and longer ones
+    tile at 512, which also minimizes tail padding vs. a fixed 512 when
+    Sq % 512 is small (LLaMA b40 prefill: 708 pads to 768, not 1024).
     """
+    sq, sk = q.shape[-2], k.shape[-2]
+    pad128 = lambda s: -(-s // 128) * 128
+    if block_q is None:
+        block_q = pad128(sq) if sq <= 1024 else 512
+    if block_kv is None:
+        block_kv = pad128(sk) if sk <= 1024 else 512
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     on_tpu = jax.devices()[0].platform == "tpu"
