@@ -10,14 +10,22 @@ and measures slower. This kernel keeps S in VMEM:
   level's scale (16x16 / 8x8 / 4x4), so every (query-tile, value-level)
   pair samples inside one fixed (32 rows x 40 cols) value window —
   up-sampling pairs included;
-- per grid step (tile, value-level) the window is DMA'd once from
-  head-major (M, H, W, D) value maps (x-starts 8-aligned; the 8-col
-  alignment slack is inside the 40-col extent);
+- value maps are stored HEAD-GROUPED: (G, H, W, hpg*D) with hpg = 128//D
+  heads side by side on the lane dim, so the minor dim is a whole
+  128-lane tile. Mosaic's HBM window DMA requires the sliced memref's
+  minor dim to be tile-aligned ("Slice shape along dimension 3 must be
+  aligned to tiling (128)") — a head-major (M, H, W, D=32) layout is
+  un-DMA-able. Per grid step (tile, value-level) one (G, 32, 40, 128)
+  window is DMA'd (x-starts 8-aligned; the alignment slack is inside
+  the 40-col extent);
 - bilinear corners + attention weights collapse into a per-head one-hot
-  S (TQ, 32*40) built in VMEM registers (bf16, like the gather core's
-  weight dtype) and consumed by one (TQ, 1280) x (1280, 32) MXU matmul
-  per head; the three value-level steps accumulate into the same
-  resident output block;
+  S (32*40, TQ) built transposed in VMEM registers and consumed by one
+  lhs-contracted (1280, TQ) x (1280, 128) MXU matmul per head against
+  the head's GROUP window; the head's own D-lane block of the product
+  is mask-accumulated into the output (the other lanes are that S
+  applied to sibling heads' values — discarded). Lane width is 128
+  either way on the MXU, so the masked form costs no extra cycles. The
+  three value-level steps accumulate into the same resident block;
 - samples whose corners fall outside their window (offsets beyond the
   ±8-pixel slack) are dropped from S and recomputed exactly by a
   `lax.cond`-gated pass of the gather core — with reference-scale
@@ -51,15 +59,17 @@ def _tile_edges(query_shapes):
 
 def _kernel(meta_ref, iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
             *rest, n_levels: int, n_heads: int, tq: int, head_dim: int,
-            mm_dtype):
+            n_groups: int, hpg: int, mm_dtype):
     v_refs = rest[:n_levels]
     out_ref = rest[n_levels]
     win_ref, sem = rest[n_levels + 1], rest[n_levels + 2]
     s = pl.program_id(0)
     lvl = s % n_levels
     f32 = jnp.float32
+    lanes = hpg * head_dim
 
-    # window DMA: head-major (M, H, W, D) -> (M, WH, WW, D) scratch
+    # window DMA: head-grouped (G, H, W, hpg*D) -> (G, WH, WW, hpg*D)
+    # scratch; the minor dim is a whole number of 128-lane tiles
     ys = meta_ref[s, 0]
     xs = meta_ref[s, 1]
     for li in range(n_levels):
@@ -75,27 +85,48 @@ def _kernel(meta_ref, iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # S is built TRANSPOSED — (WH, WW, TQ), queries on the lane dim — so the
+    # (WH, WW) merge is a leading/sublane-dim collapse, which Mosaic's
+    # layout inference supports; the natural (TQ, WH, WW) -> (TQ, K) form is
+    # a lane-dim merge and fails to compile on this chip
+    # ("infer-vector-layout: unsupported shape cast" —
+    # tools/perf/probe_mosaic_reshape.py isolates both forms). The matmul
+    # then contracts lhs dim 0 (lhs-transposed), which Mosaic lowers
+    # natively.
     k = WH * WW
-    ity = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WH, 1), 2)
-    itx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, WW), 3)
-    for m in range(n_heads):
-        iy = iy_ref[0, m][:, :, None, None]     # (TQ, P, 1, 1)
-        ix = ix_ref[0, m][:, :, None, None]
-        wy0 = wy0_ref[0, m][:, :, None, None]
-        wy1 = wy1_ref[0, m][:, :, None, None]
-        wx0 = wx0_ref[0, m][:, :, None, None]
-        wx1 = wx1_ref[0, m][:, :, None, None]
-        wy_oh = (jnp.where(ity == iy, wy0, 0.0)
-                 + jnp.where(ity == iy + 1, wy1, 0.0))   # (TQ, P, WH, 1)
-        wx_oh = (jnp.where(itx == ix, wx0, 0.0)
-                 + jnp.where(itx == ix + 1, wx1, 0.0))   # (TQ, P, 1, WW)
-        s_mat = jnp.sum(wy_oh * wx_oh, axis=1).reshape(tq, k)
-        part = jax.lax.dot_general(
-            s_mat.astype(mm_dtype),
-            win_ref[m].reshape(k, head_dim),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        out_ref[0, m] += part
+    ity = jax.lax.broadcasted_iota(jnp.int32, (1, WH, 1, 1), 1)
+    itx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WW, 1), 2)
+    lane_head = jax.lax.broadcasted_iota(
+        jnp.int32, (tq, lanes), 1) // head_dim        # lane -> head-in-group
+    for g in range(n_groups):
+        win_k = win_ref[g].reshape(k, lanes)          # sublane merge (legal)
+        for h in range(hpg):
+            m = g * hpg + h
+            if m >= n_heads:
+                break
+            iy = iy_ref[0, m][:, None, None, :]     # (P, 1, 1, TQ)
+            ix = ix_ref[0, m][:, None, None, :]
+            wy0 = wy0_ref[0, m][:, None, None, :]
+            wy1 = wy1_ref[0, m][:, None, None, :]
+            wx0 = wx0_ref[0, m][:, None, None, :]
+            wx1 = wx1_ref[0, m][:, None, None, :]
+            wy_oh = (jnp.where(ity == iy, wy0, 0.0)
+                     + jnp.where(ity == iy + 1, wy1, 0.0))  # (P, WH, 1, TQ)
+            wx_oh = (jnp.where(itx == ix, wx0, 0.0)
+                     + jnp.where(itx == ix + 1, wx1, 0.0))  # (P, 1, WW, TQ)
+            s_t = jnp.sum(wy_oh * wx_oh, axis=0)            # (WH, WW, TQ)
+            # HIGHEST: f32 operands get full-precision MXU passes (default
+            # is ONE bf16 pass — 6.5e-3 abs err vs the f32 gather oracle
+            # on-chip); bf16 serving operands are unaffected
+            part = jax.lax.dot_general(
+                s_t.reshape(k, tq).astype(mm_dtype),
+                win_k,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)        # (TQ, lanes)
+            if hpg > 1:
+                part = jnp.where(lane_head == h, part, 0.0)
+            out_ref[0, g] += part
 
 
 def _precompute(loc, attn, query_shapes, spatial_shapes, edges):
@@ -171,8 +202,10 @@ def _precompute(loc, attn, query_shapes, spatial_shapes, edges):
 
             pad_q = tq - edge * edge
             def padq(a):
-                a = a.transpose(0, 2, 1, 3)  # (ntile, M, q, P)
-                return jnp.pad(a, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+                # (ntile, M, P, q): queries last so the kernel reads them on
+                # the lane dim (transposed-S build — see _kernel)
+                a = a.transpose(0, 2, 3, 1)
+                return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad_q)))
             iys.append(padq(jnp.where(yin0 | yin1, iy, -7)))
             ixs.append(padq(jnp.where(xin0 | xin1, ix, -7)))
             wy0s.append(padq(jnp.where(yin0, (1.0 - wy1) * aw, 0.0)))
@@ -240,13 +273,29 @@ def ms_deform_attn_pallas(
     tq = TILE_Q * TILE_Q
     f32 = jnp.float32
 
-    # head-major padded value maps: (M, H, W, D) per level, padded so any
-    # (WH, WW) window starting in-range is in-bounds
+    # head-grouped padded value maps: (G, H, W, hpg*D) per level — hpg
+    # heads side by side on the lane dim so the minor extent is a whole
+    # number of 128-lane tiles (Mosaic's window-DMA alignment rule);
+    # padded so any (WH, WW) window starting in-range is in-bounds
+    if d <= 128 and 128 % d == 0:
+        hpg = 128 // d
+    elif d % 128 == 0:
+        hpg = 1
+    else:
+        raise ValueError(
+            f"head_dim={d} is not DMA-tileable (needs d | 128 or 128 | d)")
+    mp = -(-m // hpg) * hpg
+    n_groups = mp // hpg
+    lanes = hpg * d
     v_levels = []
     start = 0
     for hv, wv in spatial_shapes:
         vl = jax.lax.dynamic_slice_in_dim(value, start, hv * wv, axis=1)
-        vl = vl.reshape(n, hv, wv, m, d).transpose(0, 3, 1, 2, 4)
+        vl = vl.reshape(n, hv, wv, m, d)
+        if mp != m:
+            vl = jnp.pad(vl, ((0, 0),) * 3 + ((0, mp - m), (0, 0)))
+        vl = (vl.reshape(n, hv, wv, n_groups, lanes)
+                .transpose(0, 3, 1, 2, 4))
         vl = jnp.pad(vl, ((0, 0), (0, 0), (0, max(0, WH - hv) + WH),
                           (0, max(0, WW - wv) + WW), (0, 0)))
         v_levels.append(vl)  # window/matmul dtype follows the value dtype
@@ -262,25 +311,27 @@ def ms_deform_attn_pallas(
             num_scalar_prefetch=1,
             grid=(steps,),
             in_specs=[
-                pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
-                pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
-                pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
-                pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
-                pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
-                pl.BlockSpec((1, m, tq, p), lambda s, meta: (s, 0, 0, 0)),
+                pl.BlockSpec((1, m, p, tq), lambda s, meta: (s, 0, 0, 0)),
+                pl.BlockSpec((1, m, p, tq), lambda s, meta: (s, 0, 0, 0)),
+                pl.BlockSpec((1, m, p, tq), lambda s, meta: (s, 0, 0, 0)),
+                pl.BlockSpec((1, m, p, tq), lambda s, meta: (s, 0, 0, 0)),
+                pl.BlockSpec((1, m, p, tq), lambda s, meta: (s, 0, 0, 0)),
+                pl.BlockSpec((1, m, p, tq), lambda s, meta: (s, 0, 0, 0)),
             ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
             out_specs=pl.BlockSpec(
-                (1, m, tq, d), lambda s, meta, nl=n_levels: (s // nl, 0, 0, 0)),
+                (1, n_groups, tq, lanes),
+                lambda s, meta, nl=n_levels: (s // nl, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((m, WH, WW, d), value.dtype),
+                pltpu.VMEM((n_groups, WH, WW, lanes), value.dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         )
         out = pl.pallas_call(
             functools.partial(_kernel, n_levels=n_levels, n_heads=m,
-                              tq=tq, head_dim=d, mm_dtype=value.dtype),
+                              tq=tq, head_dim=d, n_groups=n_groups,
+                              hpg=hpg, mm_dtype=value.dtype),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, m, tq, d), f32),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, n_groups, tq, lanes), f32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -288,6 +339,10 @@ def ms_deform_attn_pallas(
             interpret=interpret,
         )(meta, coords["iy"], coords["ix"], coords["wy0"], coords["wy1"],
           coords["wx0"], coords["wx1"], *vls)
+        # ungroup lanes: (n_tiles, G, TQ, hpg*D) -> (n_tiles, M, TQ, D)
+        out = (out.reshape(n_tiles, n_groups, tq, hpg, d)
+                  .transpose(0, 1, 3, 2, 4)
+                  .reshape(n_tiles, mp, tq, d)[:, :m])
 
         # un-tile: (n_tiles, M, TQ, D) -> (Lq, M, D)
         parts = []
