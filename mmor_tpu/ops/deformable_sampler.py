@@ -69,9 +69,14 @@ def _kernel(meta_ref, iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
     lanes = hpg * head_dim
 
     # window DMA: head-grouped (G, H, W, hpg*D) -> (G, WH, WW, hpg*D)
-    # scratch; the minor dim is a whole number of 128-lane tiles
+    # scratch; the minor dim is a whole number of 128-lane tiles. meta
+    # stores xs/8 and the x8 happens HERE: bf16 HBM memrefs are
+    # (8,128)(2,1)-tiled (W is a sublane dim) and Mosaic must PROVE the
+    # dynamic slice offset divisible by 8 — it can for x*8, not for a
+    # loaded scalar ("Failed to prove that a tile index in dimension 2 is
+    # divisible by the tiling (8)").
     ys = meta_ref[s, 0]
-    xs = meta_ref[s, 1]
+    xs = meta_ref[s, 1] * 8
     for li in range(n_levels):
         @pl.when(lvl == li)
         def _(li=li):
@@ -115,15 +120,18 @@ def _kernel(meta_ref, iy_ref, ix_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
             wx_oh = (jnp.where(itx == ix, wx0, 0.0)
                      + jnp.where(itx == ix + 1, wx1, 0.0))  # (P, 1, WW, TQ)
             s_t = jnp.sum(wy_oh * wx_oh, axis=0)            # (WH, WW, TQ)
-            # HIGHEST: f32 operands get full-precision MXU passes (default
-            # is ONE bf16 pass — 6.5e-3 abs err vs the f32 gather oracle
-            # on-chip); bf16 serving operands are unaffected
+            # HIGHEST only for f32 operands: they otherwise get ONE bf16
+            # MXU pass (6.5e-3 abs err vs the f32 gather oracle on-chip);
+            # on bf16 operands Mosaic rejects fp32 contract precision
+            # ("Bad lhs type"), and bf16 is already the serving dtype.
+            prec = (jax.lax.Precision.HIGHEST
+                    if mm_dtype == jnp.float32 else None)
             part = jax.lax.dot_general(
                 s_t.reshape(k, tq).astype(mm_dtype),
                 win_k,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)        # (TQ, lanes)
+                precision=prec)                             # (TQ, lanes)
             if hpg > 1:
                 part = jnp.where(lane_head == h, part, 0.0)
             out_ref[0, g] += part
@@ -212,7 +220,9 @@ def _precompute(loc, attn, query_shapes, spatial_shapes, edges):
             wy1s.append(padq(jnp.where(yin1, wy1 * aw, 0.0)))
             wx0s.append(padq(jnp.where(xin0, 1.0 - wx1, 0.0)))
             wx1s.append(padq(jnp.where(xin1, wx1, 0.0)))
-            metas.append(jnp.stack([ys, xs], axis=1))
+            # xs stored /8: the kernel re-multiplies so Mosaic can prove
+            # the sublane-tile divisibility of the dynamic window slice
+            metas.append(jnp.stack([ys, xs // 8], axis=1))
         # (ntile, q, M, L, P) -> (Lq_l, M, L, P) overflow rows
         ovf_all = jnp.stack(ovf_t, axis=3)  # (ntile, q, M, L, P)
         ovf_all = (ovf_all.reshape(n_ty, n_tx, edge, edge, m, n_levels, p)
