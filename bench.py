@@ -108,20 +108,50 @@ def panoptic_metric():
         "panoptic_segmenter_tracker_fps_736x1280": round(fps, 3),
         "panoptic_ms_per_frame": round(dt / (t * iters) * 1e3, 1),
         "panoptic_vs_a100_est": round(fps / A100_PANOPTIC_FPS, 3),
+        # name the core that actually produced this number (VERDICT r4 #5:
+        # the fallback key alone only identified the failure case)
+        "panoptic_sampler": sampler,
     }
 
 
 V5E_PEAK_BF16_FLOPS = 197e12  # per-chip peak; the tunnel chip is slower
 
 
-def _flops_of(jitted, *args):
+def _exc_reason(e, limit=600):
+    """One-line exception reason keeping the TAIL: Mosaic/XLA put the root
+    cause in the last lines, and the relay wraps it in an HTTP-500 body that
+    can push it past any head-truncation (ADVICE r4)."""
+    text = f"{type(e).__name__}: {e}"
+    flat = " | ".join(ln.strip() for ln in text.splitlines() if ln.strip())
+    if len(flat) <= limit:
+        return flat
+    return "…" + flat[-(limit - 1):]
+
+
+def _flops_of_compiled(compiled):
     """Analytical FLOPs of a compiled step (for MFU); None if the backend
     doesn't expose cost analysis through the tunnel."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _mem_analysis(compiled):
+    """arg/temp/alias byte breakdown of a compiled step — works through the
+    tunnel and makes a RESOURCE_EXHAUSTED rung diagnosable from the bench
+    JSON alone (VERDICT r4 #6)."""
+    try:
+        ma = compiled.memory_analysis()
+        return {
+            "args_gb": round(ma.argument_size_in_bytes / 1e9, 3),
+            "out_gb": round(ma.output_size_in_bytes / 1e9, 3),
+            "temp_gb": round(ma.temp_size_in_bytes / 1e9, 3),
+            "alias_gb": round(ma.alias_size_in_bytes / 1e9, 3),
+        }
     except Exception:
         return None
 
@@ -179,9 +209,15 @@ def train_metrics():
         tx = tr.make_optimizer(tr.TrainConfig(total_steps=100))
         step_fn, state = tr.make_lora_train_step(
             model, tx, LoraConfig(), params)
-        jitted = jax.jit(step_fn, donate_argnums=(0,))
-        run = lambda st, b: jitted(st, b)[0]
-        flops = _flops_of(jitted, state, batch)  # before donation eats state
+        compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(
+            state, batch).compile()
+        # record the byte breakdown BEFORE running: if the step itself
+        # OOMs, the failure is still diagnosable from the JSON
+        mem = _mem_analysis(compiled)
+        if mem:
+            out[f"train_lora_mem_{tag}"] = mem
+        flops = _flops_of_compiled(compiled)
+        run = lambda st, b: compiled(st, b)[0]
         dt, _ = _time_step(run, state, batch)
         toks = batch_size * (seq + cfg.num_multimodal_tokens)
         r = {
@@ -194,21 +230,24 @@ def train_metrics():
                 flops / dt / V5E_PEAK_BF16_FLOPS, 4)
         return r
 
-    rungs = [
-        ("7b_b1_s512", _preset("7b"), 1, 512),
-        ("7b16L_b2_s1024", dc.replace(
-            _preset("7b"),
-            llama=dc.replace(_preset("7b").llama, n_layers=16)), 2, 1024),
-        ("small_b8_s512", _preset("small"), 8, 512),
-    ]
+    smoke = os.environ.get("MMOR_TPU_BENCH_TRAIN_SMOKE") == "1"
+    if smoke:  # CPU smoke of the measurement harness itself
+        rungs = [("tiny_b2_s64", _preset("tiny"), 2, 64)]
+    else:
+        rungs = [
+            ("7b_b1_s512", _preset("7b"), 1, 512),
+            ("7b16L_b2_s1024", dc.replace(
+                _preset("7b"),
+                llama=dc.replace(_preset("7b").llama, n_layers=16)), 2, 1024),
+            ("small_b8_s512", _preset("small"), 8, 512),
+        ]
     for tag, cfg, b, s in rungs:
         failed = False
         try:
             out.update(lora_rung(cfg, tag, b, s))
             break
         except Exception as e:
-            out["train_lora_rung_" + tag] = (
-                f"failed: {type(e).__name__}: {e}".replace("\n", " ")[:300])
+            out["train_lora_rung_" + tag] = "failed: " + _exc_reason(e, 300)
             failed = True
         if failed:
             # outside the except block: e.__traceback__ pins the rung's
@@ -265,10 +304,14 @@ def train_metrics():
         }
         tcfg = PanopticTrainConfig(stage="ctvis", criterion=CriterionConfig())
         step_fn, state, _ = make_panoptic_train_step(model, tcfg, params)
-        jitted = jax.jit(step_fn, donate_argnums=(0,))
-        run = lambda st, b, k: jitted(st, b, k)[0]
         key = jax.random.PRNGKey(3)
-        flops = _flops_of(jitted, state, batch, key)
+        compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(
+            state, batch, key).compile()
+        mem = _mem_analysis(compiled)
+        if mem:
+            out[f"train_ctvis_mem_t{t_frames}"] = mem
+        flops = _flops_of_compiled(compiled)
+        run = lambda st, b, k: compiled(st, b, k)[0]
         dt, _ = _time_step(run, state, batch, key)
         r = {
             "train_ctvis_rung": f"r50_{h}x{w}_t{t_frames}",
@@ -280,14 +323,14 @@ def train_metrics():
                 flops / dt / V5E_PEAK_BF16_FLOPS, 4)
         return r
 
-    for t_frames in (5, 3, 2):
+    for t_frames in ((2,) if smoke else (5, 3, 2)):
         failed = False
         try:
             out.update(ctvis_rung(t_frames))
             break
         except Exception as e:
             out[f"train_ctvis_rung_t{t_frames}"] = (
-                f"failed: {type(e).__name__}: {e}".replace("\n", " ")[:300])
+                "failed: " + _exc_reason(e, 300))
             failed = True
         if failed:
             gc.collect()
@@ -298,11 +341,12 @@ def train_metrics():
 def _train_metrics_isolated():
     """Run train_metrics() in a fresh interpreter and merge its JSON.
 
-    After the big serving ladder, buffer frees through the axon tunnel are
-    not reliably synchronous: round 4 measured every in-process training
-    rung RESOURCE_EXHAUSTED right after a successful headline run even
-    though the small rungs fit a clean chip easily. A subprocess gets a
-    fresh backend and therefore a clean HBM arena."""
+    Called FIRST in main(), before the serving ladder: buffer frees through
+    the axon tunnel are not reliably synchronous AND a parent process
+    holding a live TPU client keeps its HBM arena — round 4 measured every
+    training rung RESOURCE_EXHAUSTED when this ran after the ladder, even
+    though the rungs fit a clean chip. A subprocess on an untouched chip
+    gets the full arena."""
     import subprocess
 
     env = dict(os.environ)
@@ -504,6 +548,19 @@ def main():
         return
     preset = env("MMOR_TPU_BENCH_PRESET", "7b")
     quant = env("MMOR_TPU_BENCH_QUANT", "1") == "1" and preset == "7b"
+
+    # Train-throughput extras run FIRST (VERDICT r4 #1): the subprocess
+    # needs a clean HBM arena, and running it after the serving ladder —
+    # while this parent still holds its TPU client — left all six rungs
+    # RESOURCE_EXHAUSTED in round 4. At this point the parent has not
+    # touched the backend yet (preflight only polls sockets).
+    train_extra = {}
+    if env("MMOR_TPU_BENCH_TRAIN", "1") == "1" and preset == "7b":
+        try:
+            train_extra.update(_train_metrics_isolated())
+        except Exception as e:  # throughput extras never kill the headline
+            train_extra["train_error"] = _exc_reason(e, 200)
+
     new_tokens = int(env("MMOR_TPU_BENCH_NEW_TOKENS", "300"))
     prompt_len = int(env("MMOR_TPU_BENCH_PROMPT", "128"))
     fused = env("MMOR_TPU_BENCH_FUSED", "1") == "1"
@@ -564,10 +621,9 @@ def main():
             ladder.append({**att, "result": f"ok {fps:.3f} f/s"})
             break
         except Exception as e:
-            # keep enough of the message to see the Mosaic/XLA root cause
-            # (the relay wraps it in an HTTP 500 body several lines deep)
-            reason = f"{type(e).__name__}: {e}".replace("\n", " ")[:600]
-            ladder.append({**att, "result": f"failed: {reason}"})
+            # keep the TAIL of the message: Mosaic/XLA put the root cause in
+            # the last lines and the relay wraps it in an HTTP 500 body
+            ladder.append({**att, "result": "failed: " + _exc_reason(e)})
             print(f"[bench] attempt {i} {att} failed: "
                   f"{type(e).__name__}: {e}"[:2000], file=sys.stderr)
             failed = True
@@ -592,6 +648,7 @@ def main():
 
     # ladder mode: always record attempted rungs (config + result/failure)
     extra = {"ladder": ladder} if len(attempts) > 1 else {}
+    extra.update(train_extra)  # measured before the ladder on a clean chip
     if env("MMOR_TPU_BENCH_PANOPTIC", "1") == "1" and preset == "7b":
         import gc
         gc.collect()  # free the MM2SG footprint before the second stack
@@ -603,22 +660,11 @@ def main():
                 os.environ["MMOR_TPU_BENCH_SAMPLER"] = "gather"
                 try:
                     extra.update(panoptic_metric())
-                    extra["panoptic_sampler_fallback"] = (
-                        f"{type(e).__name__}: {e}".replace("\n", " ")[:300])
+                    extra["panoptic_sampler_fallback"] = _exc_reason(e, 300)
                 except Exception as e2:
-                    extra["panoptic_error"] = (
-                        f"{type(e2).__name__}: {e2}"[:200])
+                    extra["panoptic_error"] = _exc_reason(e2, 200)
             else:
-                extra["panoptic_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    if env("MMOR_TPU_BENCH_TRAIN", "1") == "1" and preset == "7b":
-        import gc
-        gc.collect()
-        jax.clear_caches()
-        try:
-            extra.update(_train_metrics_isolated())
-        except Exception as e:  # throughput extras never kill the headline
-            extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
+                extra["panoptic_error"] = _exc_reason(e, 200)
 
     print(json.dumps({
         "metric": f"mm2sg_{preset}_{tag}_b{batch_size}_e2e_frames_per_sec_per_chip",

@@ -128,6 +128,172 @@ def convert(args, cfg: MM2SGConfig | None = None):
     return params, cfg
 
 
+class _RecordingSD(dict):
+    """State dict that records which keys the converters actually read."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.read: set = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+
+def _flat_shapes(tree) -> dict:
+    from mmor_tpu.utils.convert_hf import _flatten
+
+    return {k: tuple(v.shape) for k, v in _flatten(tree).items()}
+
+
+def _compare_shapes(got: dict, want: dict, name: str, problems: list):
+    for k, shape in want.items():
+        if k not in got:
+            problems.append(f"{name}: converted tree is missing {k} {shape}")
+        elif got[k] != shape:
+            problems.append(
+                f"{name}: {k} shape {got[k]} != expected {shape}")
+    for k in got:
+        if k not in want:
+            problems.append(f"{name}: converter emitted unexpected key {k} "
+                            f"{got[k]}")
+
+
+def dry_run(args, cfg: MM2SGConfig | None = None):
+    """Validate the converter key-mapping against a state-dict MANIFEST —
+    no weights needed, nothing written (VERDICT r4 #8: keep the
+    real-checkpoint path warm so conversion is one command when the HF
+    weights appear).
+
+    The manifest is JSON: ``{"llama": {key: [dims...]}, "clip": {...},
+    "pooler": {...}, "non_lora": {...}}`` — produce it where the weights
+    live with e.g. ``{k: list(v.shape) for k, v in model.state_dict().items()}``
+    (or from the safetensors index). An optional ``"hf_llama_config"``
+    entry (kwargs for transformers.LlamaConfig) rederives decoder
+    hyperparameters exactly like the real conversion does. Zero tensors at
+    the manifest's shapes run through the SAME converters, and the result
+    is shape-checked leaf-by-leaf against the model's init tree
+    (jax.eval_shape — no FLOPs). Returns the list of problems; main()
+    exits 1 if any."""
+    import dataclasses
+    import json
+
+    manifest = json.loads(Path(args.manifest).read_text())
+    cfg = cfg or model_config(args.preset, type("T", (), {"vocab_size": 32000}))
+    if "hf_llama_config" in manifest:
+        import transformers
+
+        from mmor_tpu.utils.convert_hf import llama_config_from_hf
+
+        hf_cfg = transformers.LlamaConfig(**manifest["hf_llama_config"])
+        cfg = dataclasses.replace(
+            cfg,
+            llama=llama_config_from_hf(
+                hf_cfg, dtype=cfg.llama.dtype, param_dtype=cfg.llama.param_dtype
+            ),
+        )
+    model = MM2SG(cfg)
+    expected = jax.eval_shape(lambda: init_params(cfg, model))["params"]
+
+    def synth(comp):
+        return _RecordingSD({k: np.zeros(tuple(s), np.float32)
+                             for k, s in manifest[comp].items()})
+
+    problems: list = []
+
+    def report_unread(sd, comp):
+        unread = sorted(set(sd) - sd.read)
+        if unread:
+            print(f"[dry-run] {comp}: {len(unread)} manifest keys not "
+                  f"consumed (first 5: {unread[:5]})")
+
+    if "llama" in manifest:
+        sd = synth("llama")
+        if "lm_head.weight" not in sd:
+            sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+        try:
+            conv = convert_llama(sd, cfg.llama)
+            _compare_shapes(_flat_shapes(conv),
+                            _flat_shapes(expected["language_model"]),
+                            "llama", problems)
+        except Exception as e:
+            problems.append(f"llama: converter raised {type(e).__name__}: {e}")
+        report_unread(sd, "llama")
+    if "clip" in manifest:
+        # pre-normalize the prefix so the recording wrapper survives the
+        # converter's own re-prefixing pass
+        raw = manifest["clip"]
+        if not any(k.startswith("vision_model.") for k in raw):
+            raw = {f"vision_model.{k}": v for k, v in raw.items()}
+        sd = _RecordingSD({k: np.zeros(tuple(s), np.float32)
+                           for k, s in raw.items()})
+        try:
+            conv = convert_clip_vision(sd, cfg.vision)
+            got = _flat_shapes(conv)
+            # tail blocks + post-LN serve the global_forward pooler variant
+            # and are absent from the patch-path init tree by design
+            # (convert_hf.convert_clip_vision tail comment) — legal extras
+            got = {k: v for k, v in got.items()
+                   if not (k.startswith("tail_block_")
+                           or k.startswith("post_ln"))}
+            _compare_shapes(got, _flat_shapes(expected["vision_tower"]),
+                            "clip", problems)
+        except Exception as e:
+            problems.append(f"clip: converter raised {type(e).__name__}: {e}")
+        report_unread(sd, "clip")
+    if "pooler" in manifest:
+        sd = synth("pooler")
+        try:
+            conv = convert_bert_pooler(sd, cfg.pooler)
+            want = _flat_shapes(expected["image_pooler"])
+            got = _flat_shapes(conv)
+            # the BERT conversion covers a SUBSET of the pooler tree (query
+            # tokens / projections stay fresh-init) — check only mapped keys
+            for k, shape in got.items():
+                if k not in want:
+                    problems.append(f"pooler: converter emitted unexpected "
+                                    f"key {k} {shape}")
+                elif want[k] != shape:
+                    problems.append(
+                        f"pooler: {k} shape {shape} != expected {want[k]}")
+        except Exception as e:
+            problems.append(
+                f"pooler: converter raised {type(e).__name__}: {e}")
+        report_unread(sd, "pooler")
+    if "non_lora" in manifest:
+        from mmor_tpu.utils.convert_hf import convert_non_lora_trainables
+
+        sd = synth("non_lora")
+        try:
+            updates = convert_non_lora_trainables(
+                sd, cfg.pooler, cfg.vision,
+                allow_ptv3_reinit=getattr(args, "ptv3_reinit", True))
+            for comp, target in (("image_pooler", "image_pooler"),
+                                 ("mm_projector", "mm_projector"),
+                                 ("segmask_encoder", "segmask_encoder")):
+                if comp not in updates:
+                    continue
+                want = _flat_shapes(expected[target])
+                for k, shape in _flat_shapes(updates[comp]).items():
+                    if k not in want:
+                        problems.append(f"non_lora/{comp}: unexpected key "
+                                        f"{k} {shape}")
+                    elif want[k] != shape:
+                        problems.append(f"non_lora/{comp}: {k} shape {shape} "
+                                        f"!= expected {want[k]}")
+        except Exception as e:
+            problems.append(
+                f"non_lora: converter raised {type(e).__name__}: {e}")
+
+    for p_ in problems:
+        print(f"[dry-run] PROBLEM {p_}")
+    comps = [c for c in ("llama", "clip", "pooler", "non_lora")
+             if c in manifest]
+    print(f"[dry-run] {'FAILED' if problems else 'OK'}: "
+          f"components={comps} problems={len(problems)}")
+    return problems
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--llama", default=None, help="HF Llama/LLaVA model dir")
@@ -141,9 +307,20 @@ def main(argv=None):
                         "skipped (the TPU-native PTv3 stem cannot load them; "
                         "re-finetune required)")
     p.add_argument("--preset", default="7b")
-    p.add_argument("--output", required=True)
+    p.add_argument("--output", default=None)
     p.add_argument("--quantize", action="store_true")
+    p.add_argument("--dry-run", action="store_true",
+                   help="validate key-mapping against --manifest without "
+                        "weights; nothing is written")
+    p.add_argument("--manifest", default=None,
+                   help="state-dict manifest JSON for --dry-run")
     args = p.parse_args(argv)
+    if args.dry_run:
+        if not args.manifest:
+            p.error("--dry-run requires --manifest")
+        raise SystemExit(1 if dry_run(args) else 0)
+    if not args.output:
+        p.error("--output is required (unless --dry-run)")
     convert(args)
 
 

@@ -192,7 +192,14 @@ def _precompute(loc, attn, query_shapes, spatial_shapes, edges):
             ys = jnp.clip(jnp.min(jnp.clip(y0i, 0, hv - 1), axis=(1, 2, 3)),
                           0, max(hv - WH, 0))                 # (ntile,)
             xs = jnp.min(jnp.clip(x0i, 0, wv - 1), axis=(1, 2, 3))
-            xs = jnp.clip((xs // 8) * 8, 0, max(wv - WW, 0))
+            # the clip bound must ALSO be sublane-aligned: meta stores xs//8
+            # and the kernel reconstructs the start as (xs//8)*8, so a
+            # non-multiple-of-8 bound (any wv with (wv-WW) % 8 != 0) would
+            # shift the DMA'd window up to 7 columns off the one-hot ix
+            # offsets. Safe to round the bound DOWN: value maps are padded
+            # by >= WW beyond wv and out-of-range corners are masked by
+            # xin0/xin1.
+            xs = jnp.clip((xs // 8) * 8, 0, (max(wv - WW, 0) // 8) * 8)
 
             iy = y0i - ys[:, None, None, None]
             ix = x0i - xs[:, None, None, None]

@@ -35,7 +35,12 @@ from mmor_tpu.train.criterion import (
     match,
     video_set_criterion,
 )
-from mmor_tpu.train.ctvis import ctvis_reid_loss
+from mmor_tpu.train.ctvis import (
+    cl_memory_loss,
+    cl_ref_loss,
+    ctvis_reid_loss,
+    init_class_memory,
+)
 from mmor_tpu.train.trainer import partition_params
 
 STAGE_TRAINABLE = {
@@ -57,6 +62,14 @@ class PanopticTrainConfig:
     # guide tracker/refiner matching with the frozen segmenter's predictions
     # (reference: enabled for the first half of training)
     match_from_segmenter: bool = False
+    # tracker/refiner-stage contrastive reference loss (`USE_CL`): off by
+    # default to match the published OR configs
+    # (configs/dvis_Plus/HybridOR/DVIS_Plus_*_R50.yaml set USE_CL: False);
+    # when on, the online stage adds get_cl_loss_ref over pred_references
+    # and the offline stage adds get_cl_loss_with_memory with the
+    # cross-video per-class memory threaded through the train state
+    use_cl: bool = False
+    cl_memory_len: int = 20  # Outputs_Memory_PerClasses(max_len=20)
     criterion: CriterionConfig = field(default_factory=CriterionConfig)
     reid_weight: float = 2.0  # cfg.MODEL.CL_PLUGIN.REID_WEIGHT
     aux_reid_weight: float = 3.0
@@ -160,6 +173,10 @@ def make_panoptic_train_step(
         "opt_state": tx.init(trainable),
         "step": jnp.zeros((), jnp.int32),
     }
+    if cfg.use_cl and cfg.stage == "offline":
+        rcfg = model.cfg.refiner
+        state["cl_memory"] = init_class_memory(
+            rcfg.num_classes, cfg.cl_memory_len, rcfg.hidden_dim)
 
     def losses_ctvis(full_params, batch, key):
         images, targets = batch["images"], batch["targets"]
@@ -225,10 +242,13 @@ def make_panoptic_train_step(
             )
         return out
 
-    def losses_tracker(full_params, batch, key, with_refiner: bool):
+    def losses_tracker(full_params, batch, key, with_refiner: bool,
+                       cl_memory=None):
         """Tracker/refiner stages: one consistent (first-appearance) match per
         clip — optionally guided by the frozen segmenter — then per-frame
-        class/mask losses with the fixed assignment (DVIS semantics)."""
+        class/mask losses with the fixed assignment (DVIS semantics).
+        Returns (losses, new_cl_memory) — the memory is None unless
+        cfg.use_cl and with_refiner."""
         targets = batch["targets"]
         b, n, t = targets["masks"].shape[:3]
         k_fwd, k_match, k_pts = jax.random.split(key, 3)
@@ -285,25 +305,44 @@ def make_panoptic_train_step(
             total = total + (cfg.criterion.class_weight * l_ce
                              + cfg.criterion.mask_weight * l_mask
                              + cfg.criterion.dice_weight * l_dice)
+
+        new_memory = None
+        if cfg.use_cl:
+            ok = targets["valid"] & (assignment >= 0)
+            if not with_refiner:
+                # online: get_cl_loss_ref over the tracker's references
+                cl = cl_ref_loss(out["pred_references"], assignment, ok)
+            else:
+                # offline: class-memory contrastive over refiner embeddings
+                cl, new_memory = cl_memory_loss(
+                    out["pred_embds"], assignment, ok,
+                    targets["labels"], cl_memory)
+            losses["loss_reid"] = cl["loss_reid"]
+            losses["loss_aux_reid"] = cl["loss_aux_reid"]
+            total = total + (cfg.reid_weight * cl["loss_reid"]
+                             + cfg.aux_reid_weight * cl["loss_aux_reid"])
         losses["total"] = total
-        return losses
+        return losses, new_memory
 
     def step_fn(state, batch, key):
         def loss_fn(trainable_now):
             full = rebuild(trainable_now)
+            memory = None
             if cfg.stage == "ctvis":
                 losses = losses_ctvis(full, batch, key)
             elif cfg.stage == "online":
-                losses = losses_tracker(full, batch, key, with_refiner=False)
+                losses, _ = losses_tracker(full, batch, key,
+                                           with_refiner=False)
             elif cfg.stage == "offline":
-                losses = losses_tracker(full, batch, key, with_refiner=True)
+                losses, memory = losses_tracker(
+                    full, batch, key, with_refiner=True,
+                    cl_memory=state.get("cl_memory"))
             else:
                 raise ValueError(f"unknown stage {cfg.stage!r}")
-            return losses["total"], losses
+            return losses["total"], (losses, memory)
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["trainable"]
-        )
+        (total, (losses, memory)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["trainable"])
         updates, opt_state = tx.update(grads, state["opt_state"], state["trainable"])
         new_trainable = optax.apply_updates(state["trainable"], updates)
         new_state = {
@@ -311,6 +350,10 @@ def make_panoptic_train_step(
             "opt_state": opt_state,
             "step": state["step"] + 1,
         }
+        if memory is not None:
+            new_state["cl_memory"] = jax.lax.stop_gradient(memory)
+        elif "cl_memory" in state:
+            new_state["cl_memory"] = state["cl_memory"]
         metrics = {k: v for k, v in losses.items() if not k[-1].isdigit()}
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

@@ -190,6 +190,34 @@ def test_pallas_sampler_no_overflow_at_ragged_grids():
         f"{int(jnp.sum(ovf))} in-map samples fell outside their windows")
 
 
+def test_pallas_sampler_misaligned_window_bound():
+    """Regression (ADVICE r4 high): a level width with (wv - WW) % 8 != 0
+    used to clip the 8-aligned window x-start to a NON-multiple-of-8 bound
+    (max(wv-WW,0)); meta stores xs//8 and the kernel reconstructs (xs//8)*8,
+    so the DMA'd window shifted up to 7 columns off the one-hot ix offsets
+    — silently wrong output (max_abs_err ~4.4 at a (32,44) level). The
+    bound is now rounded down to a multiple of 8."""
+    from mmor_tpu.ops.deformable_sampler import ms_deform_attn_pallas
+
+    rng = np.random.default_rng(7)
+    shapes = ((32, 44),)  # wv - WW = 4: the misaligned clip bound
+    m, d, points = 2, 8, 4
+    s = sum(h * w for h, w in shapes)
+    lq = s
+    value = rng.standard_normal((1, s, m, d), dtype=np.float32)
+    ref = _grid_refs(shapes)
+    off = rng.uniform(-0.03, 0.03, (1, lq, m, 1, points, 2))
+    loc = (ref[None, :, None, None, None, :] + off).astype(np.float32)
+    attn = rng.uniform(0, 1, (1, lq, m, 1, points)).astype(np.float32)
+    attn /= attn.reshape(1, lq, m, -1).sum(-1)[..., None, None]
+
+    got = np.asarray(ms_deform_attn_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        interpret=True))
+    want = oracle(value, shapes, loc, attn)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 @pytest.mark.parametrize("scale_px", [8.0, 16.0, 32.0])
 def test_pallas_sampler_trained_offset_stress(scale_px):
     """Offset-distribution stress (VERDICT r3 #3): trained models learn
