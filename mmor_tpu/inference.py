@@ -98,7 +98,13 @@ class SceneGraphPredictor:
         # (1008 -> 1024) alone cost ~110 MB of cache at b24 — the measured
         # b26 near-miss (commit a3bb013 / VERDICT round-2 weak #3).
         # Megakernel attention reshapes (rg, T) int8 (Mosaic: T % 128 only).
-        granule = 128 if self.cfg.llama.mega_decode else 16
+        # int4-KV mega: T-halved nibble attention slices at T/2, which must
+        # itself be lane-tiled (T % 256) — t_cap=896 (half 448) hits a
+        # Mosaic "unsupported shape cast" on the w8 half-slices
+        if self.cfg.llama.mega_decode:
+            granule = 256 if self.cfg.llama.kv_bits == 4 else 128
+        else:
+            granule = 16
         return -(-need // granule) * granule
 
     def _generate(self, params, batch):

@@ -201,6 +201,34 @@ class MM2SG(nn.Module):
             aux["kv"] = kv
         return logits, out_labels, aux
 
+    def encode_prompt(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        images: jax.Array,
+        view_mask: jax.Array,
+        pc_feature: jax.Array | None = None,
+        audio_embedding: jax.Array | None = None,
+        segmasks: jax.Array | None = None,
+        pc_points: jax.Array | None = None,
+        pc_valid: jax.Array | None = None,
+    ):
+        """Everything of the prefill EXCEPT the LLaMA forward: multimodal
+        encode + token embed + splice. Returns (embeds (B, T_out, D),
+        mask (B, T_out)) — the inputs the piggyback-prefill path feeds
+        chunk by chunk into the decode megakernel (ops/mega_overlap.py)."""
+        mm = self.encode_multimodal(
+            images, view_mask, pc_feature, audio_embedding, segmasks,
+            pc_points=pc_points, pc_valid=pc_valid,
+        )
+        sentinel = find_sentinel(input_ids)
+        safe_ids = jnp.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
+        token_embeds = self.language_model.embed_tokens(safe_ids)
+        embeds, mask, _ = splice_multimodal(
+            token_embeds, sentinel, mm, attention_mask
+        )
+        return embeds, mask
+
     def embed_step_tokens(self, ids: jax.Array) -> jax.Array:
         return self.language_model.embed_tokens(ids)
 
@@ -401,3 +429,146 @@ def generate_stepwise(
         # cache shrank its batch axis and can't seed the next prefill
         recycled = None
     return tokens, recycled
+
+
+def make_encode(model: MM2SG):
+    """Jitted prompt encode: (params, batch) -> (embeds (B, T_out, D) bf16,
+    mask (B, T_out)) — the prefill minus the LLaMA forward. Feeds the
+    piggyback-prefill path (ops/mega_overlap.py)."""
+
+    def encode(params, batch):
+        batch = dict(batch)
+        if "raw_views" in batch:
+            from mmor_tpu.ops.image_preproc import preprocess_views
+
+            size = model.cfg.vision.image_size
+            views = [preprocess_views(rv, size).astype(model.cfg.vision.dtype)
+                     for rv in batch.pop("raw_views")]
+            batch["images"] = jnp.stack(views, axis=1)
+        embeds, mask = model.apply(
+            params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["images"],
+            batch["view_mask"],
+            pc_feature=batch.get("pc_feature"),
+            audio_embedding=batch.get("audio_embedding"),
+            segmasks=batch.get("segmasks"),
+            pc_points=batch.get("pc_points"),
+            pc_valid=batch.get("pc_valid"),
+            method=MM2SG.encode_prompt,
+        )
+        return embeds.astype(jnp.bfloat16), mask
+
+    return jax.jit(encode)
+
+
+def generate_overlapped(
+    model: MM2SG,
+    params: Any,
+    batches: list[dict],
+    *,
+    max_cache_len: int,
+    max_new_tokens: int,
+    eos_token_id: int,
+    chunk: int = 128,
+    interpret: bool = False,
+    force_reference: bool = False,
+):
+    """Serve a SEQUENCE of same-shape batches with the next batch's LLaMA
+    prefill piggybacked inside the current batch's decode steps.
+
+    The reference serves strictly serially — full prefill, then lockstep
+    decode per batch (`scene_graph_prediction_model.py:219-231`). Here only
+    batch 0 pays a dedicated prefill; every later batch's prompt rides the
+    previous batch's DMA-bound decode on the idle MXU (see
+    ops/mega_overlap.py for the measured argument). Returns a list of
+    (B, max_new_tokens) int32 token arrays, one per batch, with EOS fill
+    after each row's first EOS (same semantics as generate_stepwise without
+    early-exit compaction).
+    """
+    import numpy as np
+
+    from mmor_tpu.ops.mega_overlap import (
+        OverlapServer,
+        alloc_pf_full,
+        alloc_pf_work,
+    )
+
+    cfg = model.cfg.llama
+    assert cfg.mega_decode, "overlapped serving rides the megakernel"
+    b, t_in = batches[0]["input_ids"].shape
+    for bt in batches[1:]:
+        assert bt["input_ids"].shape == (b, t_in), "batches must share shape"
+    t_out = t_in + model.cfg.num_multimodal_tokens - 1
+    nc = -(-t_out // chunk)
+    align = 256 if cfg.kv_bits == 4 else 128  # lane-tiled working cache
+    while (nc * chunk) % align:
+        nc += 1
+    t2 = nc * chunk
+    if nc * b > max_new_tokens - 1:
+        raise ValueError(
+            f"piggyback needs {nc * b} decode steps for {b} streams x "
+            f"{nc} chunks but only {max_new_tokens - 1} are available")
+    assert t2 <= max_cache_len
+
+    lm_params = {"params": params["params"]["language_model"]}
+    encode = make_encode(model)
+    prefill = make_prefill(model, max_cache_len=max_cache_len)
+    server = OverlapServer(cfg, lm_params, batch=b, t_cap=max_cache_len,
+                           t2=t2, chunk=chunk, interpret=interpret,
+                           force_reference=force_reference)
+
+    # batch 0: the only dedicated prefill (pipeline fill)
+    bufs = alloc_cache_buffers(model.cfg, b, max_cache_len)
+    logits, cache = prefill(params, batches[0], bufs)
+    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    work = alloc_pf_work(cfg, t2)
+    full = alloc_pf_full(cfg, b, t2)
+    last_row = t_out - 1 - (nc - 1) * chunk  # final-token row in last chunk
+
+    outs = []
+    for bi in range(len(batches)):
+        nxt = None
+        if bi + 1 < len(batches):
+            embeds, mask = encode(params, batches[bi + 1])
+            pad_t = t2 - embeds.shape[1]
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad_t), (0, 0)))
+            mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, pad_t)))
+            pos = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            nxt = (embeds, mask, pos)
+        toks = [tok]
+        hiddens = []
+        for i in range(1, max_new_tokens):
+            widx, j = (i - 1) // nc, (i - 1) % nc
+            if nxt is not None and widx < b:
+                ck = dict(
+                    x=nxt[0][widx, j * chunk:(j + 1) * chunk],
+                    pos=nxt[2][widx, j * chunk:(j + 1) * chunk],
+                    amask=nxt[1][widx, j * chunk:(j + 1) * chunk],
+                    stream_amask=nxt[1][widx],
+                    wp=jnp.asarray(j * chunk, jnp.int32),
+                )
+                tok, cache, work, x_pf = server.step_pf(
+                    server.head, server.tapes, cache, tok[:, None], work, ck)
+                if j == nc - 1:
+                    full, work = server.flush(full, work,
+                                              jnp.asarray(widx, jnp.int32))
+                    hiddens.append(x_pf[last_row])
+            else:
+                tok, cache = server.step_plain(
+                    server.head, server.tapes, cache, tok[:, None])
+            toks.append(tok)
+        out = np.asarray(jnp.stack(toks, axis=1))
+        if eos_token_id >= 0:
+            for r in range(b):
+                hits = np.nonzero(out[r] == eos_token_id)[0]
+                if hits.size:
+                    out[r, hits[0]:] = eos_token_id
+        outs.append(out)
+        if nxt is not None:
+            hidden = jnp.stack(hiddens)  # (B, D)
+            cache, tok, full = server.handoff(cache, full, nxt[1][:, :t_out],
+                                              hidden, server.head)
+    return outs

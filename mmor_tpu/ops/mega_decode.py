@@ -76,14 +76,34 @@ class MegaGeometry:
     wbits: int = 8    # weight width: 8 (per-channel scales, 4/int32 word)
     #                   or 4 (per-(ck, channel) scales, 8 biased nibbles/word)
     kvbits: int = 8   # KV cache width: 8, or 4 (T-halved biased nibbles)
+    bp_extra: int = 0  # extra (32-aligned) activation rows appended after
+    #                    the decode rows: they ride every matmul phase on
+    #                    the idle MXU but take no attention steps — the
+    #                    piggyback-prefill row budget (and its hiding probe)
+    pf_chunk: int = 0  # piggyback prefill: chunk columns per step (rows
+    #                    [pf_base, bp) carry pf_chunk consecutive prompt
+    #                    tokens of ONE stream of the NEXT batch; they ride
+    #                    the decode weight stream on the idle MXU and get
+    #                    one extra attention step per head against the
+    #                    stream's working prefill cache). 0 = plain decode.
+    pf_t: int = 0      # prefill working-cache capacity (column count)
 
     @property
     def ckw(self) -> int:  # tape word-rows per K-chunk
         return self.ck // (8 if self.wbits == 4 else 4)
 
     @property
+    def pf_base(self) -> int:  # first piggyback-prefill activation row
+        return self.bp - self.pf_chunk
+
+    @property
+    def gpr(self) -> int:  # attention groups per head
+        return self.nb8 + (1 if self.pf_chunk else 0)
+
+    @property
     def bp(self) -> int:  # padded batch rows (int8 sublane tile)
-        return max(32, -(-self.batch // 32) * 32)
+        return (max(32, -(-self.batch // 32) * 32) + self.bp_extra
+                + self.pf_chunk)
 
     @property
     def q_width(self) -> int:
@@ -118,7 +138,8 @@ class MegaGeometry:
 
     @property
     def na(self) -> int:  # attention steps: head-major x 8-row groups
-        return self.n_heads * self.nb8
+        #                   (+1 piggyback-prefill step per head when on)
+        return self.n_heads * self.gpr
 
     @property
     def no(self) -> int:  # o tile steps
@@ -176,6 +197,22 @@ class MegaGeometry:
         assert g.kvbits in (8, 4)
         if g.kvbits == 4:
             assert g.t_cap % 8 == 0, "T-halved nibble packing needs T % 8"
+            # ON CHIP the kernel additionally needs t_cap % 256: attention
+            # weights slice at T/2 and Mosaic rejects sub-lane-tile slice
+            # boundaries ("unsupported shape cast", probed round 5).
+            # Interpret-mode tests run smaller T, so serving entry points
+            # enforce it (inference._cache_len_for granule 256).
+        assert g.bp_extra % 32 == 0 and g.bp_extra >= 0
+        if g.pf_chunk:
+            assert g.pf_chunk % 32 == 0, "chunk rows must tile sublanes"
+            if g.kvbits == 4:
+                assert g.pf_t % 256 == 0, \
+                    "prefill cache needs lane-tiled T-halves (T2/2 % 128)"
+                assert (g.pf_t // 2) % g.pf_chunk == 0, (
+                    "chunk slabs must not straddle the T-halved nibble "
+                    "boundary", g.pf_t, g.pf_chunk)
+            else:
+                assert g.pf_t % 128 == 0 and g.pf_t % g.pf_chunk == 0
         assert g.bna % g.head_dim == 0 and g.head_dim % 4 == 0
         assert g.n_heads % g.g == 0
         # gate_up blocks are [g_j | u_j]; the SiLU half feeds the down
@@ -508,12 +545,13 @@ def _mega_kernel(
     ks_ref,        # (1, 1, rg, T) bf16   scales live (L,H,B,T)
     vq_ref,        # (1, rg, 1, T/4, dh) int32
     vs_ref,        # (1, 1, rg, T) bf16
-    # outputs
-    x_out_ref,     # (1, bp, ck) bf16       [j]
-    knew_ref,      # (1, bp, bna) int8      [l*nkb + (j - qb)]
-    knew_s_ref,    # (1, bp, bna/dh) f32
-    vnew_ref,      # (1, bp, bna) int8
-    vnew_s_ref,    # (1, bp, bna/dh) f32
+    # piggyback-prefill inputs (geo.pf_chunk > 0 only):
+    #   kq2 (1, 1, dh/4, T2[/2]) int32  [l, head] one stream's working cache
+    #   ks2 (1, 1, T2) bf16 | vq2 (1, 1, T2/4[8], dh) int32 | vs2 (1,1,T2)
+    #   pfmask (1, T2) int32 (columns < wp and real) | pfamask (1, c) int32
+    # outputs:
+    #   x_out (1, bp, ck) bf16 [j] | knew (1, bp, bna) int8 [l*nkb+(j-qb)]
+    #   knew_s (1, bp, bna/dh) f32 | vnew | vnew_s
     # optional debug-dump outputs (debug_dump != ""), then scratch:
     # xs (nxc,bp,ck) f32 | x2s | hq int8 | hrs | qatt (H,bp,dh) int8 | qs |
     # kcur f32 | vcur f32 | a8 int8 | ars | m8 (ffn/ck,bp,ck) int8 | mrs |
@@ -525,6 +563,12 @@ def _mega_kernel(
     debug_phases: str = "full",
     debug_dump: str = "",
 ):
+    if geo.pf_chunk:
+        (kq2_ref, ks2_ref, vq2_ref, vs2_ref, pfmask_ref, pfamask_ref
+         ) = rest[:6]
+        rest = rest[6:]
+    (x_out_ref, knew_ref, knew_s_ref, vnew_ref, vnew_s_ref) = rest[:5]
+    rest = rest[5:]
     if debug_dump:
         dump8_ref, dumps_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -726,12 +770,13 @@ def _mega_kernel(
     # gather 8 batch rows of one head via strided BlockSpec windows.
     in_att = jnp.logical_and(s >= att0, s < o0)
     a_i = jnp.clip(s - att0, 0, g.na - 1)
-    h_i = a_i // g.nb8
-    i8_i = a_i % g.nb8
+    h_i = a_i // g.gpr
+    g_i = a_i % g.gpr
+    i8_i = jnp.minimum(g_i, g.nb8 - 1)
     rg = g.rg
 
     if _on("att"):
-        @pl.when(in_att)
+        @pl.when(jnp.logical_and(in_att, g_i < g.nb8))
         def _():
             r0 = pl.multiple_of(i8_i * rg, rg)
             q8 = qatt_ref[h_i, pl.dslice(r0, rg), :]            # (rg, dh) i8
@@ -803,6 +848,69 @@ def _mega_kernel(
             r8, rrs = quant_rows(rows)
             a8_ref[h_i, pl.dslice(r0, rg), :] = r8
             ars_ref[h_i, pl.dslice(r0, rg), :] = rrs
+
+    # -- piggyback-prefill attention: one step per head. The chunk rows are
+    # pf_chunk CONSECUTIVE prompt tokens of ONE stream of the NEXT batch:
+    # plain (c, dh) x (dh, T2) matmuls against the stream's working cache
+    # (already-written columns, masked to < wp by pfmask) plus an inline
+    # causal (c, c) block from the VMEM-resident chunk k/v — the in-kernel
+    # equivalent of chunked prefill attention riding the decode weight walk.
+    if _on("pfatt") and g.pf_chunk:
+        @pl.when(jnp.logical_and(in_att, g_i == g.nb8))
+        def _():
+            c = g.pf_chunk
+            pb = g.pf_base
+            t2 = g.pf_t
+            q8 = qatt_ref[h_i, pb:pb + c, :]                # (c, dh) i8
+            qsx = qs_ref[h_i, pb:pb + c, :].astype(f32)     # (c, 1)
+            kc = kcur_ref[h_i, pb:pb + c, :].astype(f32)    # (c, dh)
+            vc = vcur_ref[h_i, pb:pb + c, :].astype(f32)
+            mrow = pfmask_ref[0]                            # (1, T2)
+            ksx = ks2_ref[0].astype(f32)                    # (1, T2)
+            vsx = vs2_ref[0].astype(f32)
+            if g.kvbits == 4:
+                kw = kq2_ref[0, 0]                          # (dh/4, T2/2)
+                klo = pltpu.bitcast(kw & 0x0F0F0F0F, jnp.int8)
+                khi = pltpu.bitcast((kw >> 4) & 0x0F0F0F0F, jnp.int8)
+                qsum = jnp.sum(q8.astype(f32), axis=1, keepdims=True)
+                logits = (jnp.concatenate(
+                    [dot8(q8, klo), dot8(q8, khi)], axis=1) - 8.0 * qsum)
+            else:
+                k8 = pltpu.bitcast(kq2_ref[0, 0], jnp.int8)  # (dh, T2)
+                logits = dot8(q8, k8)
+            logits = logits * qsx * ksx
+            logits = jnp.where(mrow != 0, logits, NEG_INF)
+            # intra-chunk causal block (chunk k is exact f32 in VMEM); the
+            # causal&pad mask arrives precomputed — in-kernel iota+select
+            # chains are a known Mosaic layout-solver compile-time hazard
+            li = jax.lax.dot_general(
+                q8.astype(f32), kc, (((1,), (1,)), ((), ()))) * qsx
+            li = jnp.where(pfamask_ref[0] != 0, li, NEG_INF)
+            m = jnp.maximum(jnp.max(logits, 1, keepdims=True),
+                            jnp.max(li, 1, keepdims=True))
+            w = jnp.exp(logits - m)
+            wi = jnp.exp(li - m)
+            denom = (jnp.sum(w, 1, keepdims=True)
+                     + jnp.sum(wi, 1, keepdims=True))
+            w8, wrs = quant_rows(w * vsx)
+            if g.kvbits == 4:
+                vw = vq2_ref[0, 0]                           # (T2/8, dh)
+                vlo = pltpu.bitcast(vw & 0x0F0F0F0F, jnp.int8)
+                vhi = pltpu.bitcast((vw >> 4) & 0x0F0F0F0F, jnp.int8)
+                half2 = t2 // 2
+                w8lo = jax.lax.slice_in_dim(w8, 0, half2, axis=1)
+                w8hi = jax.lax.slice_in_dim(w8, half2, t2, axis=1)
+                wsum = jnp.sum(w8.astype(f32), axis=1, keepdims=True)
+                ov = ((dot8(w8lo, vlo) + dot8(w8hi, vhi))
+                      - 8.0 * wsum) * wrs
+            else:
+                v8 = pltpu.bitcast(vq2_ref[0, 0], jnp.int8)  # (T2, dh)
+                ov = dot8(w8, v8) * wrs
+            ovi = jax.lax.dot_general(wi, vc, (((1,), (0,)), ((), ())))
+            rows = (ov + ovi) / denom
+            r8, rrs = quant_rows(rows)
+            a8_ref[h_i, pb:pb + c, :] = r8
+            ars_ref[h_i, pb:pb + c, :] = rrs
 
     # ---------------- tape-B matmul phases (o, down)
     in_o = jnp.logical_and(s >= o0, s < n2)
@@ -966,9 +1074,11 @@ def _make_index_maps(geo: MegaGeometry):
         return (l * 2 + (s >= n2).astype(jnp.int32), 0, 0)
 
     def kv_idx(l, s):
-        # (layer, batch row-group, head) for the head-major attention walk
+        # (layer, batch row-group, head) for the head-major attention walk;
+        # the piggyback-prefill step (last group of each head) parks on the
+        # head's last decode group — same index, no refetch
         a = jnp.clip(s - att0, 0, g.na - 1)
-        return a // g.nb8, a % g.nb8
+        return a // g.gpr, jnp.minimum(a % g.gpr, g.nb8 - 1)
 
     def kq(l, s):
         h, i8 = kv_idx(l, s)
@@ -979,6 +1089,20 @@ def _make_index_maps(geo: MegaGeometry):
         return (l, h, i8, 0)
 
     vq = kq
+
+    def kv2(l, s):
+        # working prefill cache (L, H, dh/4, T2[/2]): walked head-major —
+        # fetched while the head's decode groups run (a free prefetch),
+        # consumed at the head's prefill step
+        a = jnp.clip(s - att0, 0, g.na - 1)
+        return (l, a // g.gpr, 0, 0)
+
+    def kv2_s(l, s):
+        # scales live (L*H, 1, T2): the (1, 1, T2) block mirrors scale_a's
+        # proven-on-chip row layout (a 4-D (1,1,1,T2) block read [0,0]
+        # produced a row Mosaic refused to sublane-broadcast)
+        a = jnp.clip(s - att0, 0, g.na - 1)
+        return (l * g.n_heads + a // g.gpr, 0, 0)
 
     def x_out(l, s):
         td = jnp.clip(s - dn0, 0, g.nd - 1)
@@ -1001,7 +1125,7 @@ def _make_index_maps(geo: MegaGeometry):
                 gu_gate=gu_gate, gu_up=gu_up, o_w=o_w, dn_w=dn_w,
                 scale_a=scale_a, scale_b=scale_b, norm=norm,
                 kq=kq, ks=ksm, vq=vq, vs=ksm, x_out=x_out, kv_new=kv_new,
-                kv_new_v=kv_new_v)
+                kv_new_v=kv_new_v, kv2=kv2, kv2_s=kv2_s)
 
 
 def mega_decode_layers(
@@ -1014,6 +1138,7 @@ def mega_decode_layers(
     *,
     eps: float = 1e-5,
     sm_scale: float | None = None,
+    pf: dict | None = None,
     interpret: bool = False,
     debug_phases: str = "full",
     debug_stub: str = "",
@@ -1025,12 +1150,25 @@ def mega_decode_layers(
     knew (L, B, H, dh) int8, knew_s (L, B, H) f32,
     vnew (L, B, H, dh) int8, vnew_s (L, B, H) f32).
     The caller owns the (single) cache column update.
+
+    ``pf`` (piggyback prefill, geo.pf_chunk > 0): dict with the NEXT
+    batch's current stream —
+      x (c, D) bf16 chunk token embeddings | cos/sin (c, dh) rope at the
+      chunk positions | amask (c,) int32 real-token mask | mask (T2,)
+      int32 working-cache validity (columns < wp and real) | k/k_s/v/v_s
+      the stream's working prefill cache ((L, H, dh/4, T2[/2]) int32,
+      (L, H, T2) bf16 scales, (L, H, T2/4[8], dh) int32, (L, H, T2)).
+    The chunk rows ride every matmul phase on the idle MXU (the decode
+    walk is DMA-bound) and add one attention step per head; a sixth
+    return element carries their outputs:
+    dict(x (c, D), knew/vnew (L, c, H, dh) int8, knew_s/vnew_s (L, c, H)).
     """
     g = geo
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(g.head_dim))
     b, d = x.shape
     assert b == g.batch and d == g.dim
+    assert (pf is not None) == (g.pf_chunk > 0)
     bp, ck, bna, bnb = g.bp, g.ck, g.bna, g.bnb
     # int4 KV: K words are (dh/4, T/2) T-halved nibbles, V words (T/8, dh)
     kv_t = g.t_cap // 2 if g.kvbits == 4 else g.t_cap
@@ -1039,16 +1177,25 @@ def mega_decode_layers(
     nkb = g.q_width // g.bna
 
     xt = x.reshape(b, g.nkc, ck).transpose(1, 0, 2)
-    xt = jnp.pad(xt, ((0, 0), (0, bp - b), (0, 0))).astype(jnp.bfloat16)
     hpb = bna // g.head_dim
-    cosb = jnp.pad(
-        jnp.broadcast_to(cos.astype(jnp.float32)[:, None, :],
-                         (b, hpb, g.head_dim)),
-        ((0, bp - b), (0, 0), (0, 0)))[None]
-    sinb = jnp.pad(
-        jnp.broadcast_to(sin.astype(jnp.float32)[:, None, :],
-                         (b, hpb, g.head_dim)),
-        ((0, bp - b), (0, 0), (0, 0)))[None]
+    cosr = cos.astype(jnp.float32)
+    sinr = sin.astype(jnp.float32)
+    if pf is not None:
+        cpf = g.pf_chunk
+        gap = g.pf_base - b
+        xpf = pf["x"].reshape(cpf, g.nkc, ck).transpose(1, 0, 2)
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((g.nkc, gap, ck), xt.dtype), xpf], axis=1)
+        zrow = jnp.zeros((gap, g.head_dim), jnp.float32)
+        cosr = jnp.concatenate([cosr, zrow, pf["cos"].astype(jnp.float32)])
+        sinr = jnp.concatenate([sinr, zrow, pf["sin"].astype(jnp.float32)])
+    else:
+        xt = jnp.pad(xt, ((0, 0), (0, bp - b), (0, 0)))
+        cosr = jnp.pad(cosr, ((0, bp - b), (0, 0)))
+        sinr = jnp.pad(sinr, ((0, bp - b), (0, 0)))
+    xt = xt.astype(jnp.bfloat16)
+    cosb = jnp.broadcast_to(cosr[:, None, :], (bp, hpb, g.head_dim))[None]
+    sinb = jnp.broadcast_to(sinr[:, None, :], (bp, hpb, g.head_dim))[None]
     half = g.head_dim // 2
     sign = jnp.concatenate(
         [-jnp.ones((half,), jnp.float32), jnp.ones((half,), jnp.float32)]
@@ -1116,6 +1263,28 @@ def mega_decode_layers(
         ("kv", pl.BlockSpec((1, g.rg, 1, t4, g.head_dim), maps["vq"]), vq),
         ("kv", pl.BlockSpec((1, 1, g.rg, g.t_cap), maps["vs"]), vs),
     ]
+    if pf is not None:
+        kv2_t = g.pf_t // 2 if g.kvbits == 4 else g.pf_t
+        t4_2 = g.pf_t // (8 if g.kvbits == 4 else 4)
+        # scale/mask rows ride as (N, 1, T2)-shaped stacks with (1, 1, T2)
+        # blocks read [0] — the same row layout scale_a uses (proven to
+        # sublane-broadcast on chip)
+        in_triples += [
+            ("pf", pl.BlockSpec((1, 1, dh4, kv2_t), maps["kv2"]), pf["k"]),
+            ("pf", pl.BlockSpec((1, 1, g.pf_t), maps["kv2_s"]),
+             pf["k_s"].astype(jnp.bfloat16).reshape(-1, 1, g.pf_t)),
+            ("pf", pl.BlockSpec((1, 1, t4_2, g.head_dim), maps["kv2"]),
+             pf["v"]),
+            ("pf", pl.BlockSpec((1, 1, g.pf_t), maps["kv2_s"]),
+             pf["v_s"].astype(jnp.bfloat16).reshape(-1, 1, g.pf_t)),
+            ("pf", pl.BlockSpec((1, 1, g.pf_t), maps["resident3"]),
+             pf["mask"].astype(jnp.int32).reshape(1, 1, g.pf_t)),
+            # intra-chunk mask precomputed to (c, c): causal & real-token
+            ("pf", pl.BlockSpec((1, g.pf_chunk, g.pf_chunk),
+                                maps["resident3"]),
+             (jnp.tril(jnp.ones((g.pf_chunk, g.pf_chunk), jnp.int32))
+              * pf["amask"].astype(jnp.int32)[None, :])[None]),
+        ]
     stubbed = set(filter(None, debug_stub.split(",")))
     in_specs, in_arrays = [], []
     for grp, spec, arr in in_triples:
@@ -1182,15 +1351,23 @@ def mega_decode_layers(
         interpret=interpret,
     )(*in_arrays)
 
-    x_new = x_out.transpose(1, 0, 2).reshape(bp, d)[:b]
-    def fix(t):  # (L*nkb, bp, hpb, dh) -> (L, B, H, dh)
-        t = t.reshape(g.n_layers, nkb, bp, hpb_, g.head_dim)[:, :, :b]
-        t = t.transpose(0, 2, 1, 3, 4)
-        return t.reshape(g.n_layers, b, g.n_heads, g.head_dim)
-    def fix_s(t):  # (L*nkb, bp, hpb) -> (L, B, H)
-        t = t.reshape(g.n_layers, nkb, bp, hpb_)[:, :, :b]
-        return t.transpose(0, 2, 1, 3).reshape(g.n_layers, b, g.n_heads)
-    out = (x_new, fix(knew), fix_s(knew_s), fix(vnew), fix_s(vnew_s))
+    x_all = x_out.transpose(1, 0, 2).reshape(bp, d)
+    x_new = x_all[:b]
+    def fix(t, r0, rows):  # (L*nkb, bp, hpb, dh) -> (L, rows, H, dh)
+        t = t.reshape(g.n_layers, nkb, bp, hpb_, g.head_dim)
+        t = t[:, :, r0:r0 + rows].transpose(0, 2, 1, 3, 4)
+        return t.reshape(g.n_layers, rows, g.n_heads, g.head_dim)
+    def fix_s(t, r0, rows):  # (L*nkb, bp, hpb) -> (L, rows, H)
+        t = t.reshape(g.n_layers, nkb, bp, hpb_)[:, :, r0:r0 + rows]
+        return t.transpose(0, 2, 1, 3).reshape(g.n_layers, rows, g.n_heads)
+    out = (x_new, fix(knew, 0, b), fix_s(knew_s, 0, b),
+           fix(vnew, 0, b), fix_s(vnew_s, 0, b))
+    if pf is not None:
+        pb, cpf = g.pf_base, g.pf_chunk
+        out = out + (dict(
+            x=x_all[pb:pb + cpf],
+            knew=fix(knew, pb, cpf), knew_s=fix_s(knew_s, pb, cpf),
+            vnew=fix(vnew, pb, cpf), vnew_s=fix_s(vnew_s, pb, cpf)),)
     return out + tuple(dumps) if debug_dump else out
 
 
@@ -1208,11 +1385,12 @@ def _quant_rows_ref(x):
 
 def mega_decode_layers_reference(x, tapes, cache, cos, sin,
                                  geo: MegaGeometry, *, eps=1e-5,
-                                 sm_scale=None):
+                                 sm_scale=None, pf: dict | None = None):
     """Plain-XLA emulation of the megakernel's exact arithmetic chain
     (per-(row,chunk) int8 activations, int8 attention weights, inline
     current-token term). Runs anywhere; the numerics oracle for
-    ``mega_decode_layers``."""
+    ``mega_decode_layers``. ``pf`` mirrors the kernel's piggyback-prefill
+    contract (same dict, same sixth return element)."""
     from mmor_tpu.ops.quantized_matmul import unpack_int8_rows
 
     g = geo
@@ -1221,6 +1399,27 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
     f32 = jnp.float32
     b = g.batch
     ck = g.ck
+    assert (pf is not None) == (g.pf_chunk > 0)
+    cpf = g.pf_chunk
+    if pf is not None:
+        # chunk rows ride the same row-wise chain: concatenate them after
+        # the decode rows (norms / matmuls / rope are row-independent)
+        x = jnp.concatenate([x.astype(f32), pf["x"].astype(f32)])
+        cos = jnp.concatenate([cos.astype(f32), pf["cos"].astype(f32)])
+        sin = jnp.concatenate([sin.astype(f32), pf["sin"].astype(f32)])
+        if g.kvbits == 4:
+            k2_all = unpack_k_int4(pf["k"], g.pf_t).astype(f32)  # (L,H,T2,dh)
+            v2_all = unpack_v_int4(pf["v"], g.pf_t).astype(f32)
+        else:
+            from mmor_tpu.ops.attention import unpack_kv_heads
+
+            k2_all = unpack_kv_heads(pf["k"]).astype(f32)
+            v2_all = unpack_v_tmajor(pf["v"]).astype(f32)
+        k2s_all = pf["k_s"].astype(f32)                          # (L,H,T2)
+        v2s_all = pf["v_s"].astype(f32)
+        pfmask = pf["mask"].astype(jnp.int32).reshape(g.pf_t)
+        pfamask = pf["amask"].astype(jnp.int32).reshape(cpf)
+    rows = b + cpf
     un = untile_tapes(tapes, g)
     # Weights dequantize PER LAYER inside the loop below (lazy getters):
     # up-front unpacking materializes the full f32 stack (~26 GB at 7B),
@@ -1258,28 +1457,28 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
     vs_all = cache["v_s"].astype(f32).transpose(0, 2, 1, 3)
     mask = cache["kv_mask"].astype(jnp.int32)
 
-    cosr = jnp.tile(cos.astype(f32), (1, g.dim // g.head_dim))  # (B, D)
+    cosr = jnp.tile(cos.astype(f32), (1, g.dim // g.head_dim))  # (rows, D)
     sinr = jnp.tile(sin.astype(f32), (1, g.dim // g.head_dim))
     half = g.head_dim // 2
     pos = jnp.arange(g.dim) % g.head_dim
 
-    def rope(t):  # (B, D)
-        m = t.reshape(b, g.n_heads, g.head_dim)
+    def rope(t):  # (rows, D)
+        m = t.reshape(rows, g.n_heads, g.head_dim)
         rot = jnp.concatenate([-m[..., half:], m[..., :half]], -1)
-        rot = rot.reshape(b, g.dim)
+        rot = rot.reshape(rows, g.dim)
         return t * cosr + rot * sinr
 
-    def chunk_quant(h):  # (B, W) -> int values + per-chunk row scales
+    def chunk_quant(h):  # (rows, W) -> int values + per-chunk row scales
         nc = h.shape[1] // ck
-        hc = h.reshape(b, nc, ck)
+        hc = h.reshape(rows, nc, ck)
         q, rs = _quant_rows_ref(hc)
-        return q, rs  # (B,nc,ck), (B,nc,1)
+        return q, rs  # (rows,nc,ck), (rows,nc,1)
 
     def mm_quant(h, w, colscale):
-        """h (B, K) f32 -> quantized-chunk matmul vs int-valued w (K, N)."""
+        """h (rows, K) f32 -> quantized-chunk matmul vs int-valued w."""
         q, rs = chunk_quant(h)
         nc = q.shape[1]
-        acc = jnp.zeros((b, w.shape[1]), f32)
+        acc = jnp.zeros((rows, w.shape[1]), f32)
         for kk in range(nc):
             part = q[:, kk] @ w[kk * ck:(kk + 1) * ck]
             acc = acc + part * rs[:, kk]
@@ -1288,19 +1487,30 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
     x = x.astype(f32)
     knews, knew_ss, vnews, vnew_ss = [], [], [], []
     for li in range(g.n_layers):
-        w_qkv_li, s_qkv_li = dq_layer(un["qkv_proj"], li)
-        w_gu_li, s_gu_li = dq_layer(un["gate_up_interleaved"], li)
-        w_o_li, s_o_li = dq_layer(un["o_proj"], li)
-        w_dn_li, s_dn_li = dq_layer(un["down_proj"], li)
+        # tie layer li's weight unpack to layer li-1's output: without the
+        # barrier XLA's scheduler hoists ALL layers' f32 dequant temps
+        # (~0.8 GB each) ahead of the loop — the on-chip generation check
+        # OOM'd at 16.1/15.75 GB with per-layer laziness in python only
+        (wq_t, wg_t, wo_t, wd_t), x = jax.lax.optimization_barrier(
+            ((un["qkv_proj"][0][li], un["gate_up_interleaved"][0][li],
+              un["o_proj"][0][li], un["down_proj"][0][li]), x))
+
+        def _dq(entry, wp_li, li=li):
+            return dq_layer((wp_li[None], entry[1][li:li + 1]), 0)
+
+        w_qkv_li, s_qkv_li = _dq(un["qkv_proj"], wq_t)
+        w_gu_li, s_gu_li = _dq(un["gate_up_interleaved"], wg_t)
+        w_o_li, s_o_li = _dq(un["o_proj"], wo_t)
+        w_dn_li, s_dn_li = _dq(un["down_proj"], wd_t)
         hvar = jnp.mean(x * x, axis=-1, keepdims=True)
         h = x * jax.lax.rsqrt(hvar + eps) * norms[li, 0]
         qkv = mm_quant(h, w_qkv_li, s_qkv_li)
         q, k, v = jnp.split(qkv, 3, axis=1)
         q, k = rope(q), rope(k)
-        q8, qs = _quant_rows_ref((q * sm_scale).reshape(b, g.n_heads,
+        q8, qs = _quant_rows_ref((q * sm_scale).reshape(rows, g.n_heads,
                                                         g.head_dim))
-        k8n, ksn = _quant_rows_ref(k.reshape(b, g.n_heads, g.head_dim))
-        v8n, vsn = _quant_rows_ref(v.reshape(b, g.n_heads, g.head_dim))
+        k8n, ksn = _quant_rows_ref(k.reshape(rows, g.n_heads, g.head_dim))
+        v8n, vsn = _quant_rows_ref(v.reshape(rows, g.n_heads, g.head_dim))
         kcur = k8n * ksn  # dequantized, matches kernel's kcur
         vcur = v8n * vsn
         knews.append(k8n)
@@ -1309,10 +1519,11 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
         vnew_ss.append(vsn[..., 0])
 
         # attention (per batch row, per head)
-        logits = jnp.einsum("bhd,bhtd->bht", q8, k8_all[li])
-        logits = logits * qs * ks_all[li]  # (B,H,T)
+        logits = jnp.einsum("bhd,bhtd->bht", q8[:b], k8_all[li])
+        logits = logits * qs[:b] * ks_all[li]  # (B,H,T)
         logits = jnp.where(mask[:, None, :] != 0, logits, NEG_INF)
-        lcur = jnp.sum(q8 * kcur, axis=-1, keepdims=True) * qs  # (B,H,1)
+        lcur = jnp.sum(q8[:b] * kcur[:b], axis=-1,
+                       keepdims=True) * qs[:b]                   # (B,H,1)
         mmax = jnp.maximum(jnp.max(logits, -1, keepdims=True), lcur)
         w_ = jnp.exp(logits - mmax)
         wc = jnp.exp(lcur - mmax)
@@ -1320,13 +1531,37 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
         wv = w_ * vs_all[li]
         w8, wrs = _quant_rows_ref(wv)
         ov = jnp.einsum("bht,bhtd->bhd", w8, v8_all[li]) * wrs
-        attn = (ov + wc * vcur) / denom  # (B,H,dh)
+        attn = (ov + wc * vcur[:b]) / denom  # (B,H,dh)
+
+        if pf is not None:
+            # piggyback-prefill chunk: the c rows attend to ONE stream's
+            # working cache plus an inline causal block over the chunk
+            q8c, qsc = q8[b:], qs[b:]                    # (c,H,dh),(c,H,1)
+            lg2 = jnp.einsum("chd,htd->cht", q8c, k2_all[li])
+            lg2 = lg2 * qsc * k2s_all[li][None]           # (c,H,T2)
+            lg2 = jnp.where(pfmask[None, None, :] != 0, lg2, NEG_INF)
+            li_ = jnp.einsum("chd,jhd->chj", q8c, kcur[b:]) * qsc
+            okm = jnp.logical_and(
+                jnp.arange(cpf)[None, None, :] <= jnp.arange(cpf)[:, None,
+                                                                  None],
+                pfamask[None, None, :] != 0)
+            li_ = jnp.where(okm, li_, NEG_INF)            # (c,H,c)
+            m2 = jnp.maximum(jnp.max(lg2, -1, keepdims=True),
+                             jnp.max(li_, -1, keepdims=True))
+            w2 = jnp.exp(lg2 - m2)
+            wi = jnp.exp(li_ - m2)
+            den2 = (jnp.sum(w2, -1, keepdims=True)
+                    + jnp.sum(wi, -1, keepdims=True))
+            w28, w2rs = _quant_rows_ref(w2 * v2s_all[li][None])
+            ov2 = jnp.einsum("cht,htd->chd", w28, v2_all[li]) * w2rs
+            ovi = jnp.einsum("chj,jhd->chd", wi, vcur[b:])
+            attn = jnp.concatenate([attn, (ov2 + ovi) / den2])
 
         # o-projection with per-(row, head) activation quantization
         # (matches the kernel's head-major attention-output layout)
         a8, ars = _quant_rows_ref(attn)
         dh = g.head_dim
-        acc = jnp.zeros((b, g.dim), f32)
+        acc = jnp.zeros((rows, g.dim), f32)
         for h in range(g.n_heads):
             acc = acc + (a8[:, h] @ w_o_li[h * dh:(h + 1) * dh]) * ars[:, h]
         x2 = x + acc * s_o_li[None, :]
@@ -1334,15 +1569,24 @@ def mega_decode_layers_reference(x, tapes, cache, cos, sin,
         h2 = x2 * jax.lax.rsqrt(h2var + eps) * norms[li, 1]
         gu = mm_quant(h2, w_gu_li, s_gu_li)  # interleaved [g_j|u_j]
         half_b = g.bna // 2
-        gui = gu.reshape(b, -1, 2, half_b)
-        gate = gui[:, :, 0].reshape(b, g.ffn)
-        up = gui[:, :, 1].reshape(b, g.ffn)
+        gui = gu.reshape(rows, -1, 2, half_b)
+        gate = gui[:, :, 0].reshape(rows, g.ffn)
+        up = gui[:, :, 1].reshape(rows, g.ffn)
         m = gate * jax.nn.sigmoid(gate) * up
         x = x2 + mm_quant(m, w_dn_li, s_dn_li)
 
-    return (x.astype(jnp.bfloat16),
-            jnp.stack(knews).astype(jnp.int8), jnp.stack(knew_ss),
-            jnp.stack(vnews).astype(jnp.int8), jnp.stack(vnew_ss))
+    knew = jnp.stack(knews).astype(jnp.int8)
+    knew_s = jnp.stack(knew_ss)
+    vnew = jnp.stack(vnews).astype(jnp.int8)
+    vnew_s = jnp.stack(vnew_ss)
+    out = (x[:b].astype(jnp.bfloat16), knew[:, :b], knew_s[:, :b],
+           vnew[:, :b], vnew_s[:, :b])
+    if pf is not None:
+        out = out + (dict(
+            x=x[b:].astype(jnp.bfloat16),
+            knew=knew[:, b:], knew_s=knew_s[:, b:],
+            vnew=vnew[:, b:], vnew_s=vnew_s[:, b:]),)
+    return out
 
 
 # ------------------------------------------------------------------ #

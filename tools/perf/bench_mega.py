@@ -29,12 +29,15 @@ REPEATS = int(os.environ.get("BM_REPEATS", "8"))
 CHECK = os.environ.get("BM_CHECK", "0") == "1"
 WBITS = int(os.environ.get("BM_WBITS", "8"))
 KVBITS = int(os.environ.get("BM_KVBITS", "8"))
+# extra dead matmul rows (32-aligned): measures whether piggyback-prefill
+# MXU work hides under the DMA-bound decode walk
+BP_EXTRA = int(os.environ.get("BM_BP_EXTRA", "0"))
 
 cfg = LlamaConfig(dim=4096, n_layers=L, n_heads=32, n_kv_heads=32,
                   ffn_dim=FFN, weight_quant=True, kv_quant=True,
                   fused_qkv=True, weight_bits=WBITS, kv_bits=KVBITS,
                   mega_decode=True)
-geo = md.MegaGeometry.from_config(cfg, batch=B, t_cap=T)
+geo = md.MegaGeometry.from_config(cfg, batch=B, t_cap=T, bp_extra=BP_EXTRA)
 
 
 def rand_blocks(key):
@@ -100,7 +103,8 @@ def rand_cache(key, prefix):
 
 
 def main():
-    print(f"L={L} B={B} T={T} ffn={FFN} w{WBITS} kv{KVBITS} steps/layer={geo.steps_per_layer} "
+    print(f"L={L} B={B} T={T} ffn={FFN} w{WBITS} kv{KVBITS} bp={geo.bp} "
+          f"steps/layer={geo.steps_per_layer} "
           f"grid={L}x{geo.steps_per_layer}", flush=True)
     qw = cfg.n_heads * cfg.head_dim
     wbytes = ((geo.wqkv * cfg.dim + qw * cfg.dim          # qkv + o
