@@ -474,6 +474,7 @@ def generate_overlapped(
     chunk: int = 128,
     interpret: bool = False,
     force_reference: bool = False,
+    engine_cache: dict | None = None,
 ):
     """Serve a SEQUENCE of same-shape batches with the next batch's LLaMA
     prefill piggybacked inside the current batch's decode steps.
@@ -512,20 +513,33 @@ def generate_overlapped(
             f"{nc} chunks but only {max_new_tokens - 1} are available")
     assert t2 <= max_cache_len
 
-    lm_params = {"params": params["params"]["language_model"]}
-    encode = make_encode(model)
-    prefill = make_prefill(model, max_cache_len=max_cache_len)
-    server = OverlapServer(cfg, lm_params, batch=b, t_cap=max_cache_len,
-                           t2=t2, chunk=chunk, interpret=interpret,
-                           force_reference=force_reference)
+    # jitted programs + weight tapes survive across calls through
+    # engine_cache (steady-state serving recompiles nothing)
+    ec = engine_cache if engine_cache is not None else {}
+    if "server" not in ec:
+        lm_params = {"params": params["params"]["language_model"]}
+        ec["encode"] = make_encode(model)
+        ec["prefill"] = make_prefill(model, max_cache_len=max_cache_len)
+        ec["server"] = OverlapServer(
+            cfg, lm_params, batch=b, t_cap=max_cache_len, t2=t2,
+            chunk=chunk, interpret=interpret,
+            force_reference=force_reference)
+    encode, prefill, server = ec["encode"], ec["prefill"], ec["server"]
+    assert server.t2 == t2 and server.batch == b
 
-    # batch 0: the only dedicated prefill (pipeline fill)
-    bufs = alloc_cache_buffers(model.cfg, b, max_cache_len)
+    # batch 0: the only dedicated prefill (pipeline fill). The ~10 GB of
+    # cache + prefill buffers also persist through engine_cache: frees
+    # through the axon tunnel are asynchronous, so back-to-back calls that
+    # re-allocated them transiently doubled the footprint and could OOM.
+    bufs = ec.pop("bufs", None) or alloc_cache_buffers(
+        model.cfg, b, max_cache_len)
     logits, cache = prefill(params, batches[0], bufs)
     tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
-    work = alloc_pf_work(cfg, t2)
-    full = alloc_pf_full(cfg, b, t2)
+    # work is left re-zeroed by each wave's flush; full rows are fully
+    # overwritten before the handoff reads them — reuse both as-is
+    work = ec.pop("work", None) or alloc_pf_work(cfg, t2)
+    full = ec.pop("full", None) or alloc_pf_full(cfg, b, t2)
     last_row = t_out - 1 - (nc - 1) * chunk  # final-token row in last chunk
 
     outs = []
@@ -571,4 +585,7 @@ def generate_overlapped(
             hidden = jnp.stack(hiddens)  # (B, D)
             cache, tok, full = server.handoff(cache, full, nxt[1][:, :t_out],
                                               hidden, server.head)
+    if engine_cache is not None:
+        ec["bufs"] = (cache["k"], cache["k_s"], cache["v"], cache["v_s"])
+        ec["work"], ec["full"] = work, full
     return outs

@@ -368,3 +368,20 @@ def test_generate_overlapped_smoke():
         max_new_tokens=n_new, eos_token_id=-1, chunk=32)
     for o1, o2 in zip(outs, again):
         np.testing.assert_array_equal(o1, o2)
+
+    # engine_cache: back-to-back serving calls reuse the jitted programs
+    # AND the cache/prefill buffers (bench.py's steady-state path) — the
+    # recycled buffers must not leak state into the next call's tokens
+    ec = {}
+    cached1 = generate_overlapped(
+        qmodel, qparams, batches, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1, chunk=32, engine_cache=ec)
+    server1 = ec["server"]
+    assert "bufs" in ec and "work" in ec and "full" in ec
+    cached2 = generate_overlapped(
+        qmodel, qparams, batches, max_cache_len=cache_len,
+        max_new_tokens=n_new, eos_token_id=-1, chunk=32, engine_cache=ec)
+    assert ec["server"] is server1  # no rebuild on the second call
+    for o1, o2, o3 in zip(outs, cached1, cached2):
+        np.testing.assert_array_equal(o1, np.asarray(o2))
+        np.testing.assert_array_equal(o1, np.asarray(o3))

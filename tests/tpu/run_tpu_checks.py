@@ -63,7 +63,126 @@ GROUPS = [
     ("mega", lambda: mega_checks()),
     ("mega_int4", lambda: mega_int4_checks()),
     ("mega_generation", lambda: mega_generation_checks()),
+    ("overlap", lambda: overlap_checks()),
 ]
+
+
+def overlap_checks(steps: int = 14):
+    """Piggybacked serving (ops/mega_overlap.py) with the KERNEL in the
+    loop at 7B geometry: decode steps carry 128-token prefill chunks of a
+    synthetic next-batch prompt; chunk KV flows work-buffer -> wave flush
+    -> handoff repack into a decode cache. The kernel stream must match
+    the exact-arithmetic reference stream on decode tokens, and the two
+    handoff caches must agree to one quantization bin."""
+    import gc
+    import os
+    import time
+
+    from mmor_tpu.config import LlamaConfig
+    from mmor_tpu.ops import mega_decode as md
+    from mmor_tpu.ops import mega_overlap as mo
+    from mmor_tpu.ops.quantized_matmul import pack_int8_rows, quantize_weights
+
+    vocab = 512
+    l, d, f = 32, 4096, 11264
+    b, t_cap, fill = 40, 256, 56
+    c = 128
+    if os.environ.get("MMOR_TPU_CHECK_SMALL") == "1":
+        l, steps = 2, 6
+    cfg = LlamaConfig(dim=d, n_layers=l, n_heads=32, n_kv_heads=32,
+                      ffn_dim=f, weight_quant=True, kv_quant=True,
+                      fused_qkv=True, weight_bits=4, kv_bits=4,
+                      mega_decode=True, weight_group=1024)
+    t2 = 256  # 2 chunks/stream; steps cover 2 waves of piggyback prefill
+    nc = t2 // c
+    key = jax.random.PRNGKey(17)
+    ks = jax.random.split(key, 10)
+    geo = md.MegaGeometry.from_config(cfg, batch=b, t_cap=t_cap,
+                                      pf_chunk=c, pf_t=t2)
+    blocks = {
+        "qkv_proj": _stacked_quantized(ks[0], l, d, 3 * d, geo, 4),
+        "o_proj": _stacked_quantized(ks[1], l, d, d, geo, 4),
+        "gate_up_proj": _stacked_quantized(ks[2], l, d, 2 * f, geo, 4),
+        "down_proj": _stacked_quantized(ks[3], l, f, d, geo, 4),
+        "attn_norm": {"scale": jnp.ones((l, d))},
+        "mlp_norm": {"scale": jnp.ones((l, d))},
+    }
+    hd = d // 32
+    kq, k_s = jax.jit(md.quantize_k_int4)(
+        jax.random.normal(ks[4], (l, b, 32, t_cap, hd)) * 0.5)
+    vq, v_s = jax.jit(md.quantize_v_int4)(
+        jax.random.normal(ks[5], (l, b, 32, t_cap, hd)) * 0.5)
+    cache0 = dict(
+        k=kq, k_s=k_s.transpose(0, 2, 1, 3).astype(jnp.float32),
+        v=vq, v_s=v_s.transpose(0, 2, 1, 3).astype(jnp.float32),
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(t_cap)[None] < fill).astype(jnp.int32), (b, t_cap)),
+        write_pos=jnp.asarray(fill, jnp.int32),
+        tok_pos=jnp.full((b,), fill, jnp.int32),
+    )
+    head = dict(
+        embed=(jax.random.normal(ks[6], (vocab, d)) * 0.02
+               ).astype(jnp.bfloat16),
+        final_norm=jnp.ones((d,)),
+    )
+    hq, hs = quantize_weights(jax.random.normal(ks[7], (d, vocab)) * 0.02)
+    head["lm_head_wp"], head["lm_head_scale"] = pack_int8_rows(hq), hs
+    lm_params = {"params": {"blocks": blocks, "embed_tokens": None,
+                            "final_norm": None, "lm_head": None}}
+    embeds = (jax.random.normal(ks[8], (t2, d)) * 0.3).astype(jnp.bfloat16)
+    amask = jnp.ones((t2,), jnp.int32)
+    pos = jnp.arange(t2, dtype=jnp.int32)
+    tok0 = jax.random.randint(ks[9], (b,), 0, vocab, jnp.int32)
+
+    tapes = md.build_tapes(blocks, geo)
+    streams, caches = {}, {}
+    for mode, force_ref in (("kernel", False), ("reference", True)):
+        step = mo.make_overlap_step(cfg, geo, force_reference=force_ref)
+        flush = jax.jit(mo.flush_pf_work, donate_argnums=(0, 1))
+        cache = jax.tree.map(lambda a: a.copy(), cache0)
+        work = mo.alloc_pf_work(cfg, t2)
+        full = mo.alloc_pf_full(cfg, b, t2)
+        tok = tok0
+        toks = []
+        t0 = None
+        for i in range(steps):
+            widx, j = i // nc, i % nc
+            ck_in = dict(
+                x=embeds[j * c:(j + 1) * c],
+                pos=pos[j * c:(j + 1) * c],
+                amask=amask[j * c:(j + 1) * c],
+                stream_amask=amask,
+                wp=jnp.asarray(j * c, jnp.int32),
+            )
+            if widx < b:
+                tok, cache, work, _xpf = step(head, tapes, cache,
+                                              tok[:, None], work, ck_in)
+                if j == nc - 1:
+                    full, work = flush(full, work,
+                                       jnp.asarray(widx, jnp.int32))
+            toks.append(tok)
+            if i == 0:
+                np.asarray(tok)
+                t0 = time.perf_counter()
+        out = np.asarray(jnp.stack(toks, axis=1))
+        dt = (time.perf_counter() - t0) / max(steps - 1, 1)
+        print(f"    {mode}: {dt * 1e3:.1f} ms/step (decode b{b} + {c}-tok "
+              f"prefill chunk)")
+        streams[mode] = out
+        caches[mode] = np.asarray(md.unpack_k_int4(full["k"], t2))
+        del cache, work, full
+        gc.collect()
+        jax.clear_caches()
+
+    agree = float((streams["kernel"] == streams["reference"]).mean())
+    kfrac = float((np.abs(caches["kernel"].astype(np.int32)
+                          - caches["reference"].astype(np.int32)) <= 1
+                   )[:, :, :, :, :].mean())
+    ok = agree >= 0.95 and kfrac >= 0.9
+    print(f"[{'OK ' if ok else 'FAIL'}] overlap serving {steps} steps: "
+          f"decode token agreement={agree:.4f} (>=0.95), prefill-cache "
+          f"within-1-bin={kfrac:.4f} (>=0.9)")
+    return ok
 
 
 def main():
@@ -179,12 +298,17 @@ def mega_generation_checks(steps: int = 64):
     ok = True
     vocab = 512
     l, d, f, qw = 32, 4096, 11264, 4096
-    t_cap, fill = 128, 56
+    # t_cap 256: the int4 T-halved attention slices at T/2, which must be
+    # lane-tiled ON CHIP (t_cap=128 fails Mosaic with "unsupported shape
+    # cast" — found round 5)
+    t_cap, fill = 256, 56
     if os.environ.get("MMOR_TPU_CHECK_SMALL") == "1":
         # CPU smoke of the harness itself (kernel == reference there);
         # widths stay at 7B (the int4 geometry needs 256-aligned K-chunks)
         l, steps = 2, 8
-    for wbits, kvbits, batch, thresh in ((8, 8, 24, 0.99), (4, 4, 40, 0.95)):
+    # int4 first: it is the bench ladder's headline rung, so if a later
+    # rung OOMs the headline evidence already exists
+    for wbits, kvbits, batch, thresh in ((4, 4, 40, 0.95), (8, 8, 24, 0.99)):
         cfg = LlamaConfig(dim=d, n_layers=l, n_heads=32, n_kv_heads=32,
                           ffn_dim=f, weight_quant=True, kv_quant=True,
                           fused_qkv=True, weight_bits=wbits, kv_bits=kvbits,
@@ -236,36 +360,42 @@ def mega_generation_checks(steps: int = 64):
         head["lm_head_wp"], head["lm_head_scale"] = pack_int8_rows(hq), hs
 
         tok0 = jax.random.randint(ks[8], (batch,), 0, vocab, jnp.int32)
-        streams = {}
-        for mode, force_ref in (("kernel", False), ("reference", True)):
-            step = md.make_mega_decode_step(cfg, geo,
-                                            force_reference=force_ref)
-            cache = jax.tree.map(lambda a: a.copy(), cache0)
-            tok = tok0
-            toks = []
-            t0 = None
-            for i in range(steps):
-                tok, cache = step(head, tapes, cache, tok[:, None])
-                toks.append(tok)
-                if i == 0:
-                    np.asarray(tok)  # sync out the compile
-                    t0 = time.perf_counter()
-            out = np.asarray(jnp.stack(toks, axis=1))
-            dt = (time.perf_counter() - t0) / max(steps - 1, 1)
-            streams[mode] = out
-            print(f"    {mode}: {dt * 1e3:.1f} ms/token")
-            del cache
-            gc.collect()
+        try:
+            streams = {}
+            for mode, force_ref in (("kernel", False), ("reference", True)):
+                step = md.make_mega_decode_step(cfg, geo,
+                                                force_reference=force_ref)
+                cache = jax.tree.map(lambda a: a.copy(), cache0)
+                tok = tok0
+                toks = []
+                t0 = None
+                for i in range(steps):
+                    tok, cache = step(head, tapes, cache, tok[:, None])
+                    toks.append(tok)
+                    if i == 0:
+                        np.asarray(tok)  # sync out the compile
+                        t0 = time.perf_counter()
+                out = np.asarray(jnp.stack(toks, axis=1))
+                dt = (time.perf_counter() - t0) / max(steps - 1, 1)
+                streams[mode] = out
+                print(f"    {mode}: {dt * 1e3:.1f} ms/token")
+                del cache
+                gc.collect()
 
-        agree = float((streams["kernel"] == streams["reference"]).mean())
-        good = agree >= thresh
-        print(f"[{'OK ' if good else 'FAIL'}] mega-generation int{wbits}W+"
-              f"int{kvbits}KV b{batch} {steps} steps: "
-              f"token agreement={agree:.4f} (>= {thresh})")
-        ok &= good
-        del tapes, blocks, cache0
-        gc.collect()
-        jax.clear_caches()
+            agree = float((streams["kernel"] == streams["reference"]).mean())
+            good = agree >= thresh
+            print(f"[{'OK ' if good else 'FAIL'}] mega-generation int{wbits}W+"
+                  f"int{kvbits}KV b{batch} {steps} steps: "
+                  f"token agreement={agree:.4f} (>= {thresh})")
+            ok &= good
+        except Exception as e:  # one rung's OOM must not hide the others
+            print(f"[FAIL] mega-generation int{wbits}W rung raised: "
+                  f"{type(e).__name__}: {e}"[:600])
+            ok = False
+        finally:
+            del tapes, blocks, cache0
+            gc.collect()
+            jax.clear_caches()
     return ok
 
 
