@@ -1690,7 +1690,8 @@ def rope_tables(tok_pos: jax.Array, head_dim: int, theta: float):
 
 def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
                           *, interpret: bool = False, donate: bool = True,
-                          force_reference: bool = False):
+                          force_reference: bool = False,
+                          return_logits: bool = False):
     """Jitted (head_params, tapes, cache, tok (B,1)) -> (nxt (B,), cache).
 
     head_params = {embed (V, D), final_norm (D,), lm_head_wp (D/4, V),
@@ -1699,6 +1700,8 @@ def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
     ``force_reference=True`` runs the exact-arithmetic XLA oracle
     (mega_decode_layers_reference) regardless of backend — the on-chip
     generation-parity checks race it against the kernel step.
+    ``return_logits=True`` appends the (B, V) f32 logits to the outputs
+    (teacher-forced parity checks compare those, not greedy chains).
     """
     from mmor_tpu.ops.quantized_matmul import int8_matmul_packed
 
@@ -1725,6 +1728,8 @@ def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
             h.astype(jnp.bfloat16), head_params["lm_head_wp"],
             head_params["lm_head_scale"], int8_mxu=cfg.quant_int8_mxu)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if return_logits:
+            return nxt, cache2, logits.astype(jnp.float32)
         return nxt, cache2
 
     return jax.jit(step, donate_argnums=(2,) if donate else ())
