@@ -1691,7 +1691,9 @@ def rope_tables(tok_pos: jax.Array, head_dim: int, theta: float):
 def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
                           *, interpret: bool = False, donate: bool = True,
                           force_reference: bool = False,
-                          return_logits: bool = False):
+                          return_logits: bool = False,
+                          return_kv: bool = False,
+                          update_cache: bool = True):
     """Jitted (head_params, tapes, cache, tok (B,1)) -> (nxt (B,), cache).
 
     head_params = {embed (V, D), final_norm (D,), lm_head_wp (D/4, V),
@@ -1702,6 +1704,12 @@ def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
     generation-parity checks race it against the kernel step.
     ``return_logits=True`` appends the (B, V) f32 logits to the outputs
     (teacher-forced parity checks compare those, not greedy chains).
+    ``return_kv=True`` appends the raw quantized column
+    (knew, knew_s, vnew, vnew_s) so checks can gate the cache WRITE path.
+    ``update_cache=False`` drops the cache output entirely (and never
+    donates): a pure observer step for lockstep parity checks, which run
+    the reference on the kernel stream's state without paying a second
+    cache allocation. Output order: nxt[, cache2][, logits][, kv].
     """
     from mmor_tpu.ops.quantized_matmul import int8_matmul_packed
 
@@ -1719,7 +1727,6 @@ def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
                                       interpret=interpret))
         x, knew, knew_s, vnew, vnew_s = run(
             x, tapes, cache, cos, sin, geo, eps=cfg.norm_eps)
-        cache2 = apply_kv_update(cache, knew, knew_s, vnew, vnew_s)
         x32 = x.astype(jnp.float32)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         h = (x32 * jax.lax.rsqrt(var + cfg.norm_eps)
@@ -1728,11 +1735,17 @@ def make_mega_decode_step(cfg: LlamaConfig, geo: MegaGeometry,
             h.astype(jnp.bfloat16), head_params["lm_head_wp"],
             head_params["lm_head_scale"], int8_mxu=cfg.quant_int8_mxu)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs = (nxt,)
+        if update_cache:
+            outs += (apply_kv_update(cache, knew, knew_s, vnew, vnew_s),)
         if return_logits:
-            return nxt, cache2, logits.astype(jnp.float32)
-        return nxt, cache2
+            outs += (logits.astype(jnp.float32),)
+        if return_kv:
+            outs += ((knew, knew_s, vnew, vnew_s),)
+        return outs if len(outs) > 1 else outs[0]
 
-    return jax.jit(step, donate_argnums=(2,) if donate else ())
+    dn = (2,) if (donate and update_cache) else ()
+    return jax.jit(step, donate_argnums=dn)
 
 
 def make_mega_lm(lm_params: dict, geo: MegaGeometry) -> tuple[dict, dict]:

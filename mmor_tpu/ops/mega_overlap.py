@@ -226,7 +226,10 @@ def repack_v_int4(v2: jax.Array, t2: int, t: int) -> jax.Array:
 
 def make_overlap_step(cfg: LlamaConfig, geo: md.MegaGeometry, *,
                       interpret: bool = False, donate: bool = True,
-                      force_reference: bool = False):
+                      force_reference: bool = False,
+                      return_logits: bool = False,
+                      return_kv: bool = False,
+                      update_state: bool = True):
     """Jitted piggyback decode step:
 
     (head_params, tapes, cache, tok (B,1), work, chunk) ->
@@ -236,6 +239,14 @@ def make_overlap_step(cfg: LlamaConfig, geo: md.MegaGeometry, *,
     amask (c,) int32 | stream_amask (T2,) int32 (the stream's full
     attention-mask row) | wp scalar int32 (first column of this chunk).
     The decode cache AND the working prefill cache are donated.
+
+    ``return_logits`` appends the (B, V) f32 decode logits;
+    ``return_kv`` appends the decode column (knew, knew_s, vnew, vnew_s)
+    and the chunk's pf column dict (knew/knew_s/vnew/vnew_s slabs);
+    ``update_state=False`` drops cache'/work' from the outputs (never
+    donates) — the lockstep observer mode used by the on-chip overlap
+    parity check. Output order:
+    nxt[, cache', work'], x_pf[, logits][, dec_kv, pf_kv].
     """
     from mmor_tpu.ops.quantized_matmul import int8_matmul_packed
 
@@ -261,8 +272,6 @@ def make_overlap_step(cfg: LlamaConfig, geo: md.MegaGeometry, *,
                                       interpret=interpret))
         x, knew, knew_s, vnew, vnew_s, pfout = run(
             x, tapes, cache, cos, sin, geo, eps=cfg.norm_eps, pf=pf)
-        cache2 = md.apply_kv_update(cache, knew, knew_s, vnew, vnew_s)
-        work2 = apply_pf_work_update(work, pfout, chunk["wp"])
         x32 = x.astype(jnp.float32)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         h = (x32 * jax.lax.rsqrt(var + cfg.norm_eps)
@@ -271,9 +280,21 @@ def make_overlap_step(cfg: LlamaConfig, geo: md.MegaGeometry, *,
             h.astype(jnp.bfloat16), head_params["lm_head_wp"],
             head_params["lm_head_scale"], int8_mxu=cfg.quant_int8_mxu)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return nxt, cache2, work2, pfout["x"]
+        outs = (nxt,)
+        if update_state:
+            outs += (md.apply_kv_update(cache, knew, knew_s, vnew, vnew_s),
+                     apply_pf_work_update(work, pfout, chunk["wp"]))
+        outs += (pfout["x"],)
+        if return_logits:
+            outs += (logits.astype(jnp.float32),)
+        if return_kv:
+            outs += ((knew, knew_s, vnew, vnew_s),
+                     {k: pfout[k] for k in
+                      ("knew", "knew_s", "vnew", "vnew_s")})
+        return outs
 
-    return jax.jit(step, donate_argnums=(2, 4) if donate else ())
+    dn = (2, 4) if (donate and update_state) else ()
+    return jax.jit(step, donate_argnums=dn)
 
 
 class OverlapServer:

